@@ -1,0 +1,75 @@
+"""Headline benchmark: rendered rays/sec/chip at 256², 2 context views.
+
+Protocol mirrors the reference eval loop (eval_realestate10k.py:131-199):
+encoder latent computed once per scene, then the renderer is driven over the
+full 256x256 ray grid (65,536 rays) in fixed-size jitted blocks with the
+latent cached. The reported metric is steady-state rendered rays/sec on one
+chip, full 122M-parameter flagship model, npoints=64.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "rays/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured against the reference's ~7.3k-ray chunked PyTorch
+eval protocol; the repo publishes no GPU number (BASELINE.md), so the
+baseline constant below is the paper-era reference implementation's
+single-GPU throughput estimate used by the driver: 65536 rays / ~1.4 s per
+novel view ≈ 47k rays/sec. Recompute when a measured baseline lands.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from cross_attention_renderer_tpu.data import make_scene
+from cross_attention_renderer_tpu.models import CrossAttentionRenderer
+
+# Reference PyTorch single-GPU proxy (see module docstring / BASELINE.md).
+BASELINE_RAYS_PER_SEC = 47_000.0
+
+H = W = 256
+RAY_BLOCK = 8192          # render_realestate10k_traj.py:97 chunk size
+N_BLOCKS = (H * W) // RAY_BLOCK
+
+
+def main():
+    scene = make_scene(0, batch=1, n_view=2, H=H, W=W, n_rays=H * W,
+                       full_image=True)
+    model = CrossAttentionRenderer(n_view=2)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), scene)
+
+    encode = jax.jit(lambda p, s: model.apply(p, s, method='encode'))
+
+    def render_block(params, scene, z, uv):
+        s = dict(scene)
+        s['query'] = dict(scene['query'])
+        s['query']['uv'] = uv
+        return model.apply(params, s, z=z)['rgb']
+
+    render = jax.jit(render_block)
+
+    z = jax.block_until_ready(encode(params, scene))
+    uv_full = scene['query']['uv']
+    blocks = [uv_full[:, :, i * RAY_BLOCK:(i + 1) * RAY_BLOCK]
+              for i in range(N_BLOCKS)]
+
+    # warmup/compile
+    jax.block_until_ready(render(params, scene, z, blocks[0]))
+
+    t0 = time.perf_counter()
+    outs = [render(params, scene, z, b) for b in blocks]
+    jax.block_until_ready(outs)
+    t1 = time.perf_counter()
+
+    rays_per_sec = H * W / (t1 - t0)
+    print(json.dumps({
+        'metric': 'rendered_rays_per_sec_chip_256px_2view',
+        'value': round(rays_per_sec, 1),
+        'unit': 'rays/sec/chip',
+        'vs_baseline': round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

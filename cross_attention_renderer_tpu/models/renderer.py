@@ -1,0 +1,397 @@
+"""Cross-attention light-field renderer (the flagship model).
+
+TPU-first re-design of the reference ``CrossAttentionRenderer``
+(``models.py:42-626``): one pure function of (params, scene, rays) built from
+channel-last tensors, Dense layers instead of 1x1 convs (same math, maps
+straight onto the MXU), branchless masking instead of boolean indexing, and
+explicit activations instead of forward hooks. The computation graph is
+stage-for-stage equivalent to the reference:
+
+  1. ``encode``: DPT-hybrid multiview encoder + full-res high-freq conv
+     branch -> feature pyramid z (models.py:148-188).
+  2. Query rays -> Plücker coords in every context frame (models.py:213).
+  3. Epipolar segment per (ray, view) + ``npoints`` uniform samples
+     (models.py:226-275).
+  4. Bilinear gather of the pyramid at the samples (models.py:278).
+  5. Multi-view latent exchange: 3D point on the query ray per sample,
+     reprojected into the other view(s), second gather, shared 2-layer
+     encode (models.py:281-475).
+  6. Two rounds of ray<->epipolar-sample cross attention over the joint
+     (view x sample) axis (models.py:487-567).
+  7. Attention-derived depth (models.py:573-594) and the ResnetFC
+     light-field decode (models.py:599-612) with valid-mask whiteout
+     (models.py:615-617).
+
+Scene dict layout (channel-last):
+  context: rgb (B, V, H, W, 3) in [-1, 1]; cam2world (B, V, 4, 4);
+           intrinsics (B, V, 4, 4) in pixel units.
+  query:   cam2world (B, 1, 4, 4); intrinsics (B, 1, 4, 4);
+           uv (B, 1, R, 2) in pixel units.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cross_attention_renderer_tpu import geometry as G
+from cross_attention_renderer_tpu.encoders.dpt import DPTHybridEncoder
+from cross_attention_renderer_tpu.models.resnet_fc import ResnetFC
+from cross_attention_renderer_tpu.ops import grid_sample_pyramid
+from cross_attention_renderer_tpu.utils.image import normalize_imagenet
+
+Array = Any
+
+HIDDEN_DIM = 128          # attention hidden width (models.py:114)
+ATTN_SCALE = 1.0 / 16.0   # models.py:532,555
+QUERY_FEAT_DIM = 16       # cam_rays 3 + cam_origin 3 + ray_dir 3 + depth 4
+                          # + query origin 3 (models.py:528)
+
+
+def _mlp2(x: Array, layer1: nn.Dense, layer2: nn.Dense) -> Array:
+    return layer2(nn.relu(layer1(x)))
+
+
+class CrossAttentionRenderer(nn.Module):
+    """See module docstring. Flags mirror the reference CLI ablations
+    (models.py:43, experiment_scripts/train_realestate10k.py:51-55)."""
+
+    n_view: int = 2
+    npoints: int = 0              # 0 -> reference default (64, or 48 @ 3 views)
+    model: str = 'midas_vit'
+    no_sample: bool = False       # volumetric uniform-depth sampling ablation
+    no_latent_concat: bool = False
+    no_multiview: bool = False    # zero the pose embedding
+    no_high_freq: bool = False    # zero the full-res conv branch
+    repeat_attention: bool = True
+    # Encoder size knobs (reference config = defaults). Smaller settings keep
+    # the architecture identical for fast CPU tests.
+    fusion_features: int = 256
+    vit_width: int = 768
+    vit_depth: int = 12
+    vit_heads: int = 12
+    resnet_layers: tuple[int, int, int] = (3, 4, 9)
+    dtype: Any = jnp.float32
+
+    @property
+    def n_samples(self) -> int:
+        if self.npoints:
+            return self.npoints
+        return 64 if self.n_view <= 2 else 48
+
+    @property
+    def base_latent_dim(self) -> int:
+        if self.model == 'midas_vit':
+            return 2 * self.fusion_features + 64
+        if self.model == 'resnet':
+            return 512
+        if self.model == 'unet':
+            return 960
+        raise ValueError(f'unknown encoder model {self.model!r}')
+
+    @property
+    def latent_dim(self) -> int:
+        if self.n_view > 1 and not self.no_latent_concat:
+            return self.base_latent_dim // 2
+        return self.base_latent_dim
+
+    def setup(self):
+        if self.model == 'midas_vit':
+            self.encoder = DPTHybridEncoder(
+                features=self.fusion_features, vit_width=self.vit_width,
+                vit_depth=self.vit_depth, vit_heads=self.vit_heads,
+                resnet_layers=self.resnet_layers, dtype=self.dtype)
+            self.conv_map = nn.Conv(64, (7, 7), padding=3, dtype=self.dtype)
+        elif self.model == 'resnet':
+            from cross_attention_renderer_tpu.encoders.spatial import (
+                SpatialEncoder)
+            self.encoder = SpatialEncoder(dtype=self.dtype)
+        elif self.model == 'unet':
+            from cross_attention_renderer_tpu.encoders.unet import UNetEncoder
+            self.encoder = UNetEncoder(dtype=self.dtype)
+        else:
+            raise ValueError(f'unknown encoder model {self.model!r}')
+
+        ld = self.latent_dim
+        if self.n_view > 1 and not self.no_latent_concat:
+            self.query_encode_latent = nn.Dense(self.base_latent_dim,
+                                                dtype=self.dtype)
+            self.query_encode_latent_2 = nn.Dense(ld, dtype=self.dtype)
+        elif not self.no_latent_concat:
+            self.update_val_merge = nn.Dense(ld, dtype=self.dtype)
+
+        self.latent_value = nn.Dense(ld, dtype=self.dtype)
+        self.key_map = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
+        self.key_map_2 = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
+        self.query_embed = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
+        self.query_embed_2 = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
+        self.encode_latent = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
+        self.query_repeat_embed = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
+        self.query_repeat_embed_2 = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
+        self.phi = ResnetFC(d_in=self.n_view * 9,
+                            d_latent=ld * self.n_view,
+                            d_out=3, n_blocks=3, d_hidden=128,
+                            dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+    # Encoder (reference get_z, models.py:148-188)
+    # ------------------------------------------------------------------
+    def encode(self, scene: dict) -> tuple[Array, ...]:
+        ctx = scene['context']
+        rgb = ctx['rgb']
+        B, V, H, W, _ = rgb.shape
+        c2w = ctx['cam2world']
+        rel = jnp.einsum('bij,bvjk->bvik', jnp.linalg.inv(c2w[:, 0]), c2w,
+                         precision=jax.lax.Precision.HIGHEST)
+        rel16 = rel.reshape(B, V, 16)
+        if self.no_multiview:
+            rel16 = jnp.zeros_like(rel16)
+
+        rgb_norm = normalize_imagenet((rgb + 1.0) * 0.5).astype(self.dtype)
+
+        if self.model == 'midas_vit':
+            path2, path1 = self.encoder(rgb_norm, rel16)
+            z_conv = self.conv_map(rgb_norm.reshape(B * V, H, W, 3))
+            if self.no_high_freq:
+                z_conv = jnp.zeros_like(z_conv)
+            return (path2, path1, z_conv)
+        return tuple(self.encoder(rgb_norm.reshape(B * V, H, W, 3)))
+
+    # ------------------------------------------------------------------
+    # Renderer forward (reference forward, models.py:190-626)
+    # ------------------------------------------------------------------
+    def __call__(self, scene: dict,
+                 z: Optional[Sequence[Array]] = None) -> dict:
+        ctx, qry = scene['context'], scene['query']
+        B, V, H, W, _ = ctx['rgb'].shape
+        R = qry['uv'].shape[2]
+        P = self.n_samples
+        out: dict = {}
+
+        if z is None:
+            z = self.encode(scene)
+        z = tuple(z)
+
+        # Relative poses: everything happens in each context camera's frame.
+        ctx_c2w = ctx['cam2world']
+        inv_ctx = jnp.linalg.inv(ctx_c2w)
+        query_cam2world = jnp.einsum(
+            'bvij,bqjk->bvik', inv_ctx, qry['cam2world'],
+            precision=jax.lax.Precision.HIGHEST)           # (B, V, 4, 4)
+
+        # Query-ray Plücker coords per context frame (models.py:213-214).
+        uv = jnp.broadcast_to(qry['uv'][:, 0][:, None], (B, V, R, 2))
+        q_intr = jnp.broadcast_to(qry['intrinsics'], (B, V, 4, 4))
+        lf_coords = G.plucker_embedding(
+            query_cam2world.reshape(B * V, 4, 4),
+            uv.reshape(B * V, R, 2),
+            q_intr.reshape(B * V, 4, 4))                   # (B*V, R, 6)
+
+        ctx_intr = ctx['intrinsics'].reshape(B * V, 4, 4)
+        origins = jnp.broadcast_to(
+            G.ray_origin(query_cam2world).reshape(B * V, 1, 3), (B * V, R, 3))
+        ray_dir = lf_coords[..., :3]
+
+        if self.no_sample:
+            start, end, valid, pixel_val = G.volumetric_epipolar_lines(
+                lf_coords.reshape(B, V, R, 6), query_cam2world,
+                ctx['intrinsics'], H, W, P)
+            start = start.reshape(B * V, R, 2)
+            end = end.reshape(B * V, R, 2)
+            valid = valid.reshape(B * V, R)
+            pixel_val = pixel_val.reshape(B * V, R, P, 2)
+        else:
+            # Epipolar segments with intrinsics normalized by H
+            # (models.py:226-228 — the reference divides by H, not (W, H)).
+            intr_norm = ctx_intr.at[:, :2, :].set(ctx_intr[:, :2, :] / H)
+            start, end, valid = G.epipolar_segments_ndc(
+                origins, ray_dir, intr_norm)
+            interval = jnp.linspace(0.0, 1.0, P, dtype=start.dtype)
+            pixel_val = (start[..., None, :]
+                         + (end - start)[..., None, :]
+                         * interval[:, None])              # (B*V, R, P, 2)
+
+        # Gather the feature pyramid along the segments (models.py:278).
+        interp_val = grid_sample_pyramid(
+            z, pixel_val.reshape(B * V, R * P, 2), 'border')
+        interp_val = interp_val.reshape(B, V, R, P, -1)
+
+        # 3D point on the query ray per epipolar sample (context frame),
+        # shared by the latent exchange and the depth head (models.py:283,503).
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=lf_coords.dtype),
+                               (B * V, 4, 4))
+        pt, dist, parallel = G.epipolar_point_3d(
+            lf_coords, pixel_val, eye, H, W, ctx_intr)     # (B*V, R, P, 3)
+        pt_views = pt.reshape(B, V, R, P, 3)
+
+        if self.n_view > 1 and not self.no_latent_concat:
+            interp_val = self._latent_exchange(
+                z, interp_val, pt_views, ctx_c2w, ctx['intrinsics'], H, W)
+        elif self.no_latent_concat:
+            pass
+        else:
+            # Single view: append tanh-encoded 3D point (models.py:479-485).
+            pt1 = pt_views[:, :, :, :, :]
+            pt_feat = jnp.concatenate(
+                [jnp.tanh(pt1 / 5.0), jnp.tanh(pt1 / 100.0)], axis=-1)
+            interp_val = self.update_val_merge(
+                jnp.concatenate([interp_val, pt_feat], axis=-1))
+
+        joint_latent = self.latent_value(interp_val)       # (B,V,R,P,ld)
+        key_val = _mlp2(interp_val, self.key_map, self.key_map_2)
+
+        # Per-sample query features (models.py:494-528).
+        cam_rays = G.ray_directions_cam(
+            pixel_val, ctx_intr[:, None], H, W)            # (B*V, R, P, 3)
+        cam_rays = cam_rays.reshape(B, V, R, P, 3)
+        ray_dir_e = jnp.broadcast_to(
+            ray_dir.reshape(B, V, R, 1, 3), cam_rays.shape)
+        q_orig = G.ray_origin(query_cam2world)             # (B, V, 3)
+        q_orig_e = jnp.broadcast_to(
+            q_orig[:, :, None, None, :], cam_rays.shape)
+
+        depth = jnp.linalg.norm(
+            pt_views - q_orig[:, :, None, None, :], axis=-1, keepdims=True)
+        depth = jnp.where(jnp.isfinite(depth), depth, 1e6)
+        depth = jax.lax.stop_gradient(depth)               # models.py:516
+        depth_encode = jnp.concatenate(
+            [jnp.tanh(depth), jnp.tanh(depth / 10.0),
+             jnp.tanh(depth / 100.0), jnp.tanh(depth / 1000.0)], axis=-1)
+
+        local_coords = jnp.concatenate(
+            [cam_rays, jnp.zeros_like(q_orig_e), ray_dir_e, depth_encode,
+             q_orig_e], axis=-1)                           # (B,V,R,P,16)
+        coords_embed = _mlp2(local_coords, self.query_embed,
+                             self.query_embed_2)
+
+        # Round-1 joint attention over (view, sample) (models.py:532-541).
+        at_wt = self._joint_softmax(
+            jnp.sum(key_val * coords_embed, axis=-1) * ATTN_SCALE)
+        z_local = jnp.sum(joint_latent * at_wt[..., None], axis=3)
+        z_local = jnp.broadcast_to(
+            jnp.sum(z_local, axis=1, keepdims=True), z_local.shape)
+
+        # Round 2: query conditioned on the round-1 latent (models.py:547-565).
+        if self.repeat_attention:
+            z_embed = self.encode_latent(z_local)          # (B,V,R,128)
+            z_embed_local = jnp.broadcast_to(
+                z_embed[:, :, :, None, :],
+                z_embed.shape[:3] + (P, HIDDEN_DIM))
+            query_embed_local = jnp.concatenate(
+                [z_embed_local, local_coords], axis=-1)
+            query_embed_local = _mlp2(query_embed_local,
+                                      self.query_repeat_embed,
+                                      self.query_repeat_embed_2)
+            at_wt2 = self._joint_softmax(
+                jnp.sum(query_embed_local * coords_embed, axis=-1)
+                * ATTN_SCALE)
+            z_local = jnp.sum(joint_latent * at_wt2[..., None],
+                              axis=3) + z_local
+            z_local = jnp.broadcast_to(
+                jnp.sum(z_local, axis=1, keepdims=True), z_local.shape)
+
+        # Attention-derived depth, round-1 weights (models.py:573-594).
+        pt_clamp = jnp.clip(pt_views, -100.0, 100.0)
+        world_point = jnp.sum(at_wt[..., None] * pt_clamp, axis=3)
+        world_point = jnp.sum(world_point, axis=1)         # (B, R, 3)
+        cam_point = G.points_to_cam(world_point,
+                                    qry['cam2world'][:, 0][:, None])
+        depth_ray = jnp.clip(cam_point[..., 2], 0.0, 10.0)[..., None]
+
+        # Light-field decode (models.py:596-612).
+        coords9 = jnp.concatenate(
+            [lf_coords.reshape(B, V, R, 6),
+             jnp.broadcast_to(q_orig[:, :, None, :], (B, V, R, 3))], axis=-1)
+        coords_flat = coords9.transpose(0, 2, 1, 3).reshape(B, R, V * 9)
+        z_flat = z_local.transpose(0, 2, 1, 3).reshape(B, R, -1)
+        rgb = self.phi(jnp.concatenate([z_flat, coords_flat], axis=-1))
+
+        # Valid-mask whiteout (models.py:615-617).
+        valid_any = jnp.max(valid.reshape(B, V, R), axis=1)
+        rgb = rgb * valid_any[..., None] + (1.0 - valid_any[..., None])
+
+        out['rgb'] = rgb.reshape(B, 1, R, 3)
+        out['depth_ray'] = depth_ray
+        out['valid_mask'] = valid_any[..., None]
+        out['at_wt'] = at_wt                               # (B, V, R, P)
+        out['at_wt_max'] = jnp.argmax(
+            at_wt.transpose(0, 2, 1, 3).reshape(B, R, V * P), axis=-1)
+        out['pixel_val'] = pixel_val.reshape(B, V, R, P, 2)
+        out['coords'] = coords9
+        out['uv'] = qry['uv']
+        out['z'] = z
+        return out
+
+    # ------------------------------------------------------------------
+    def _joint_softmax(self, dots: Array) -> Array:
+        """Softmax over the joint (view, sample) axis. (B,V,R,P)->(B,V,R,P)."""
+        B, V, R, P = dots.shape
+        flat = dots.transpose(0, 2, 1, 3).reshape(B, R, V * P)
+        wt = jax.nn.softmax(flat, axis=-1)
+        return wt.reshape(B, R, V, P).transpose(0, 2, 1, 3)
+
+    def _latent_exchange(self, z: tuple, interp_val: Array, pt_views: Array,
+                         ctx_c2w: Array, ctx_intr: Array,
+                         H: int, W: int) -> Array:
+        """Cross-view latent exchange for V in {2, 3} (models.py:281-475).
+
+        For every epipolar sample of view i (a 3D point on the query ray,
+        expressed in frame i), re-express the point in every other view j,
+        project with view j's intrinsics, gather view j's features there
+        (zero padding), and fuse each (features, tanh(pt/5)) pair through the
+        shared 2-layer encoder. The fused per-view latents are concatenated
+        channel-wise: [self, other views in ascending order].
+        """
+        B, V, R, P, C = interp_val.shape
+
+        # rel[j]: context-frame -> view-j-frame transforms, (B, V, 4, 4).
+        inv = jnp.linalg.inv(ctx_c2w)
+        rel = jnp.einsum('bkij,bvjl->bkvil', inv, ctx_c2w,
+                         precision=jax.lax.Precision.HIGHEST)  # (B,K,V,4,4)
+
+        # pt_in[k, v] = samples of view v's geometry expressed in frame k.
+        pt_in = G.transform_points(
+            pt_views[:, None], rel[:, :, :, None, None])   # (B,K,V,R,P,3)
+        pt_in = jnp.where(jnp.isfinite(pt_in), pt_in, 0.0)
+
+        # Project into frame k and gather view-k features at those pixels.
+        proj = G.project_pinhole(pt_in.reshape(B, V, V * R * P, 3), ctx_intr)
+        pix = G.pixel_to_ndc(proj[..., :2], H, W)          # (B,K,V*R*P,2)
+        gathered = grid_sample_pyramid(
+            z, pix.reshape(B * V, V * R * P, 2), 'zeros')
+        gathered = gathered.reshape(B, V, V, R, P, C)      # [k, v]
+
+        # Gradient stops mirror the reference: at V=2 the self-pair points are
+        # detached (models.py:327-328); at V=3 the cross-pair points are
+        # (models.py:431-433).
+        def fuse(feats, points, detach):
+            points = jax.lax.stop_gradient(points) if detach else points
+            x = jnp.concatenate([feats, jnp.tanh(points / 5.0)], axis=-1)
+            return _mlp2(x, self.query_encode_latent,
+                         self.query_encode_latent_2)
+
+        # For the rays of view v: self-features (the epipolar gather) fused
+        # with pt in frame v; cross-features gathered[k, v] fused with
+        # pt_in[k, v] for k != v. Channel order mirrors the reference:
+        # ascending view index at V=2 (models.py:335,342), self-first at V=3
+        # (models.py:446,459,473). Note: the reference's 3-view gather coords
+        # contain an apparent subscript swap (models.py:384-393 project
+        # frame-k coordinates of view-v rays with view-k intrinsics, against
+        # the stated intent of the comment at models.py:384); we use the
+        # geometrically consistent coordinates everywhere, which matches the
+        # reference exactly for V=2 and fixes V=3.
+        per_view = []
+        for v in range(V):
+            self_part = fuse(interp_val[:, v], pt_in[:, v, v], V == 2)
+            others = [fuse(gathered[:, k, v], pt_in[:, k, v], V >= 3)
+                      for k in range(V) if k != v]
+            if V == 2:
+                parts = [self_part, others[0]] if v == 0 else [others[0],
+                                                               self_part]
+            else:
+                parts = [self_part] + others
+            per_view.append(jnp.concatenate(parts, axis=-1))
+        return jnp.stack(per_view, axis=1)                 # (B,V,R,P,ld*V)

@@ -1,0 +1,111 @@
+"""Training-step tests on the virtual 8-device CPU mesh: DP+TP sharding,
+loss decrease, checkpoint round-trip."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cross_attention_renderer_tpu.data import make_scene
+from cross_attention_renderer_tpu.models import CrossAttentionRenderer
+from cross_attention_renderer_tpu.parallel import make_mesh, param_spec
+from cross_attention_renderer_tpu.train import (
+    TrainConfig, create_train_state, make_train_step, restore_checkpoint,
+    save_checkpoint, shard_state)
+
+TINY = dict(fusion_features=32, vit_width=64, vit_depth=2, vit_heads=2,
+            resnet_layers=(1, 1, 1))
+
+
+def scene_stream(batch, n_view=2, n_rays=16):
+    for seed in itertools.count():
+        yield make_scene(seed, batch=batch, n_view=n_view, H=64, W=64,
+                         n_rays=n_rays)
+
+
+def test_single_device_loss_decreases():
+    model = CrossAttentionRenderer(n_view=2, npoints=8, **TINY)
+    cfg = TrainConfig(lr=1e-3)
+    stream = scene_stream(batch=1)
+    scene = next(stream)
+    state = create_train_state(model, scene, cfg)
+    step = make_train_step(model, cfg)
+    losses = []
+    for _ in range(14):
+        state, m = step(state, scene)  # overfit one scene
+        losses.append(float(m['total_loss']))
+    assert np.isfinite(losses).all()
+    # Adam(0.99) has a large initial transient; require a clear decline
+    # from the post-transient peak when overfitting a single scene.
+    assert losses[-1] < 0.5 * max(losses), losses
+    assert losses[-1] < losses[3], losses
+
+
+def test_mesh_dp_tp_step():
+    """Full DP(4) x TP(2) step on the virtual mesh."""
+    mesh = make_mesh(data=4, model=2)
+    model = CrossAttentionRenderer(n_view=2, npoints=8, **TINY)
+    cfg = TrainConfig()
+    scene = make_scene(0, batch=4, n_view=2, H=64, W=64, n_rays=16)
+    state = create_train_state(model, scene, cfg)
+    state = shard_state(state, mesh)
+
+    # TP rules actually hit the ViT kernels.
+    qkv = param_spec('params/encoder/vit/block0/attn/query/kernel',
+                     np.zeros((64, 2, 32)))
+    assert qkv == jax.sharding.PartitionSpec(None, 'model', None)
+
+    # inputs are committed per the TP rules before the step
+    k0 = state.params['params']['encoder']['vit']['block0']['attn'][
+        'query']['kernel']
+    assert k0.sharding.spec == jax.sharding.PartitionSpec(None, 'model', None)
+
+    step = make_train_step(model, cfg, mesh=mesh)
+    state2, metrics = step(state, scene)
+    assert np.isfinite(float(metrics['total_loss']))
+    assert int(state2.step) == 1
+    # two consecutive steps reuse the same executable
+    scene2 = make_scene(1, batch=4, n_view=2, H=64, W=64, n_rays=16)
+    state3, _ = step(state2, scene2)
+    assert int(state3.step) == 2
+
+
+def test_dp_matches_single_device():
+    """The mesh step must compute the same update as single-device."""
+    model = CrossAttentionRenderer(n_view=2, npoints=8, **TINY)
+    cfg = TrainConfig()
+    scene = make_scene(0, batch=4, n_view=2, H=64, W=64, n_rays=16)
+    state0 = create_train_state(model, scene, cfg)
+
+    s_single, m_single = make_train_step(model, cfg)(
+        jax.tree.map(jnp.copy, state0), scene)
+
+    mesh = make_mesh(data=4, model=2)
+    s_mesh, m_mesh = make_train_step(model, cfg, mesh=mesh)(
+        shard_state(jax.tree.map(jnp.copy, state0), mesh), scene)
+
+    np.testing.assert_allclose(float(m_single['total_loss']),
+                               float(m_mesh['total_loss']), rtol=1e-5)
+    a = s_single.params['params']['phi']['lin_out']['kernel']
+    b = s_mesh.params['params']['phi']['lin_out']['kernel']
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = CrossAttentionRenderer(n_view=2, npoints=8, **TINY)
+    cfg = TrainConfig()
+    scene = make_scene(0, batch=1, n_view=2, H=64, W=64, n_rays=16)
+    state = create_train_state(model, scene, cfg)
+    state, _ = make_train_step(model, cfg)(state, scene)
+    save_checkpoint(tmp_path, state, 'current')
+
+    fresh = create_train_state(model, scene, cfg,
+                               rng=jax.random.PRNGKey(7))
+    restored = restore_checkpoint(tmp_path, fresh, 'current')
+    a = state.params['params']['phi']['lin_out']['kernel']
+    b = restored.params['params']['phi']['lin_out']['kernel']
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # reference semantics: optimizer state deliberately not restored
+    assert int(restored.step) == 0
