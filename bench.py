@@ -54,13 +54,15 @@ def main():
     blocks = [uv_full[:, :, i * RAY_BLOCK:(i + 1) * RAY_BLOCK]
               for i in range(N_BLOCKS)]
 
-    # warmup/compile
-    jax.block_until_ready(render(params, scene, z, blocks[0]))
+    # warmup/compile; force full completion by fetching a value (the axon
+    # tunnel has produced unreliable block_until_ready timings)
+    float(render(params, scene, z, blocks[0]).sum())
 
     t0 = time.perf_counter()
     outs = [render(params, scene, z, b) for b in blocks]
-    jax.block_until_ready(outs)
+    checksum = float(sum(o.sum() for o in outs))
     t1 = time.perf_counter()
+    assert checksum == checksum  # NaN guard
 
     rays_per_sec = H * W / (t1 - t0)
     print(json.dumps({

@@ -1,0 +1,38 @@
+"""Shared CLI plumbing: one flag system for all entry points.
+
+Replaces the reference's per-script configargparse blocks + edit-the-source
+site config (experiment_scripts/config.py) with a single argparse builder;
+all paths are flags, no machine constants in code.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument('--experiment_name', type=str, default='exp')
+    p.add_argument('--logging_root', type=str, default='logs')
+    p.add_argument('--dataset', type=str, default='realestate10k',
+                   choices=['realestate10k', 'acid'])
+    p.add_argument('--img_root', type=str, required=False)
+    p.add_argument('--pose_root', type=str, required=False)
+    p.add_argument('--checkpoint_path', type=str, default=None)
+    p.add_argument('--views', type=int, default=2)
+    p.add_argument('--model', type=str, default='midas_vit',
+                   choices=['midas_vit', 'resnet', 'unet'])
+    # ablations (train_realestate10k.py:51-55)
+    p.add_argument('--no_sample', action='store_true')
+    p.add_argument('--no_latent_concat', action='store_true')
+    p.add_argument('--no_multiview', action='store_true')
+    p.add_argument('--no_high_freq', action='store_true')
+    return p
+
+
+def build_model(opt):
+    from cross_attention_renderer_tpu.models import CrossAttentionRenderer
+    return CrossAttentionRenderer(
+        n_view=opt.views, model=opt.model, no_sample=opt.no_sample,
+        no_latent_concat=opt.no_latent_concat, no_multiview=opt.no_multiview,
+        no_high_freq=opt.no_high_freq)

@@ -1,0 +1,80 @@
+"""Unposed two-image demo CLI.
+
+TPU-native replacement for ``render_unposed_traj.py``: two arbitrary images
+-> SuperPoint/SuperGlue matching -> RANSAC essential-matrix pose -> 76-pose
+interpolated trajectory -> mp4.
+
+Requires converted SuperPoint/SuperGlue weights (the reference repo's .pth
+blobs are git-LFS-missing; convert upstream MagicLeap checkpoints with
+``pose.superpoint.convert_weights`` / ``pose.superglue.convert_weights`` and
+point --superpoint_weights / --superglue_weights at the npz files).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cross_attention_renderer_tpu.cli.common import base_parser, build_model
+
+
+def main(argv=None):
+    p = base_parser('Render a trajectory from an unposed image pair')
+    p.add_argument('--im1', type=str, required=True)
+    p.add_argument('--im2', type=str, required=True)
+    p.add_argument('--superpoint_weights', type=str, required=True)
+    p.add_argument('--superglue_weights', type=str, required=True)
+    p.add_argument('--out', type=str, default='unposed.mp4')
+    p.add_argument('--ray_chunk', type=int, default=8192)
+    p.add_argument('--sf', type=float, default=1.2,
+                   help='translation scale (load_video_superglue.py:481)')
+    opt = p.parse_args(argv)
+
+    import imageio
+    import jax
+
+    from cross_attention_renderer_tpu.pose import unposed_scene
+    from cross_attention_renderer_tpu.train import (
+        TrainConfig, create_train_state, restore_checkpoint)
+    from cross_attention_renderer_tpu.train.evaluation import (
+        make_chunk_renderer, render_full_image)
+
+    sp_params = dict(np.load(opt.superpoint_weights))
+    sg_params = dict(np.load(opt.superglue_weights))
+
+    im0 = np.asarray(imageio.imread(opt.im1), np.float32) / 255.0
+    im1 = np.asarray(imageio.imread(opt.im2), np.float32) / 255.0
+    traj = unposed_scene(sp_params, sg_params, im0, im1, sf=opt.sf)
+
+    model = build_model(opt)
+    n_frames = traj['query']['cam2world'].shape[1]
+    H = W = traj['context']['rgb'].shape[-3]
+
+    def frame_scene(i):
+        return {
+            'context': traj['context'],
+            'query': {k: traj['query'][k][:, i:i + 1]
+                      for k in ('cam2world', 'intrinsics', 'uv')},
+        }
+
+    scene0 = jax.tree.map(np.asarray, frame_scene(0))
+    state = create_train_state(model, scene0, TrainConfig())
+    if opt.checkpoint_path:
+        state = restore_checkpoint(opt.checkpoint_path, state)
+    encode, render_chunk = make_chunk_renderer(model, state.params)
+    z = encode(scene0)
+    n_chunks = max(1, (H * W) // opt.ray_chunk)
+
+    writer = imageio.get_writer(opt.out, fps=10)
+    for i in range(n_frames):
+        scene = jax.tree.map(np.asarray, frame_scene(i))
+        rgb, _ = render_full_image(render_chunk, scene, z,
+                                   scene['query']['uv'], n_chunks)
+        img = np.asarray((rgb.reshape(H, W, 3) + 1) * 0.5)
+        writer.append_data((np.clip(img, 0, 1) * 255).astype(np.uint8))
+        print(f'frame {i + 1}/{n_frames}', flush=True)
+    writer.close()
+    print(f'wrote {opt.out}')
+
+
+if __name__ == '__main__':
+    main()

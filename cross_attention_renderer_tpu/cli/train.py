@@ -1,0 +1,93 @@
+"""Training CLI.
+
+TPU-native replacement for ``experiment_scripts/train_realestate10k.py`` /
+``train_acid.py``: one process, mesh data-parallelism instead of mp.spawn +
+NCCL. Usage:
+
+  python -m cross_attention_renderer_tpu.cli.train \
+      --experiment_name stage1 --img_root ... --pose_root ... \
+      --batch_size 12 --max_steps 200000
+  # stage 2 fine-tune (README.md:56-58):
+  ... --checkpoint_path logs/stage1/checkpoints --lpips --depth --batch_size 4
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from cross_attention_renderer_tpu.cli.common import base_parser, build_model
+from cross_attention_renderer_tpu.data.realestate import (
+    RealEstate10k, batch_iterator)
+from cross_attention_renderer_tpu.parallel import make_mesh
+from cross_attention_renderer_tpu.train import (
+    TrainConfig, create_train_state, fit, restore_checkpoint)
+
+
+def main(argv=None):
+    p = base_parser('Train the cross-attention renderer on TPU')
+    p.add_argument('--batch_size', type=int, default=12)
+    p.add_argument('--lr', type=float, default=5e-5)
+    p.add_argument('--max_steps', type=int, default=200000)
+    p.add_argument('--query_sparsity', type=int, default=192)
+    p.add_argument('--lpips', action='store_true')
+    p.add_argument('--depth', action='store_true')
+    p.add_argument('--l2_coeff', type=float, default=1e-3)
+    p.add_argument('--steps_til_summary', type=int, default=1000)
+    p.add_argument('--iters_til_ckpt', type=int, default=10000)
+    p.add_argument('--data_parallel', type=int, default=0,
+                   help='DP ways (0 = all devices)')
+    p.add_argument('--tensor_parallel', type=int, default=1)
+    opt = p.parse_args(argv)
+
+    log_dir = Path(opt.logging_root) / opt.experiment_name
+    ckpt_dir = log_dir / 'checkpoints'
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    dataset = RealEstate10k(
+        opt.img_root, opt.pose_root, num_ctxt_views=opt.views,
+        query_sparsity=opt.query_sparsity, lpips=opt.lpips, augment=True)
+    data = batch_iterator(dataset, opt.batch_size)
+
+    model = build_model(opt)
+    cfg = TrainConfig(lr=opt.lr, depth=opt.depth, lpips=opt.lpips,
+                      l2_weight=opt.l2_coeff,
+                      steps_til_summary=opt.steps_til_summary,
+                      iters_til_checkpoint=opt.iters_til_ckpt)
+
+    mesh = None
+    if jax.device_count() > 1 or opt.tensor_parallel > 1:
+        mesh = make_mesh(data=opt.data_parallel, model=opt.tensor_parallel)
+        print(f'mesh: {dict(mesh.shape)}')
+
+    state = None
+    if opt.checkpoint_path:
+        first = next(data)
+        state = create_train_state(model, first, cfg)
+        state = restore_checkpoint(opt.checkpoint_path, state)
+        print(f'warm-started from {opt.checkpoint_path}')
+
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(str(log_dir / 'summaries'), flush_secs=10)
+    except Exception:
+        writer = None
+
+    def log_fn(step, metrics):
+        if step % 50 == 0:
+            vals = {k: float(v) for k, v in metrics.items()}
+            line = ' '.join(f'{k}={v:.4f}' for k, v in vals.items())
+            print(f'step {step}: {line}', flush=True)
+            if writer is not None:
+                for k, v in vals.items():
+                    writer.add_scalar(k, v, step)
+
+    fit(model, cfg, data, opt.max_steps, ckpt_dir=str(ckpt_dir), mesh=mesh,
+        state=state, log_fn=log_fn)
+
+
+if __name__ == '__main__':
+    main()

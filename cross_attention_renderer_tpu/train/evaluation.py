@@ -1,0 +1,80 @@
+"""Evaluation / rendering loops (the reference's eval + trajectory scripts).
+
+Chunked full-image rendering with the encoder latent computed once per scene
+(eval_realestate10k.py:136-161, render_realestate10k_traj.py:84-137), jitted
+once per chunk shape.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cross_attention_renderer_tpu.utils.metrics import eval_image_metrics
+
+Array = jax.Array
+
+
+def make_chunk_renderer(model, params) -> tuple[Callable, Callable]:
+    """Returns (encode_fn, render_chunk_fn(scene, z, uv) -> (rgb, valid))."""
+    encode = jax.jit(lambda s: model.apply(params, s, method='encode'))
+
+    @jax.jit
+    def render_chunk(scene, z, uv):
+        s = dict(scene)
+        s['query'] = dict(scene['query'])
+        s['query']['uv'] = uv
+        out = model.apply(params, s, z=z)
+        return out['rgb'], out['valid_mask']
+
+    return encode, render_chunk
+
+
+def render_full_image(render_chunk, scene, z, uv_full: Array,
+                      n_chunks: int) -> tuple[Array, Array]:
+    """Render all rays in ``n_chunks`` equal jitted chunks (cached z).
+
+    Ref: eval protocol 9 chunks at 2 views / 18 at 3 views
+    (eval_realestate10k.py:144-149). The chunk count must divide the ray
+    count for static shapes; 65536 = 2^16 is divisible by the reference's
+    ray-chunk sizes once rounded — we use the nearest power-of-two split.
+    """
+    n_rays = uv_full.shape[2]
+    assert n_rays % n_chunks == 0, (n_rays, n_chunks)
+    size = n_rays // n_chunks
+    rgbs, valids = [], []
+    for i in range(n_chunks):
+        uv = uv_full[:, :, i * size:(i + 1) * size]
+        rgb, valid = render_chunk(scene, z, uv)
+        rgbs.append(rgb)
+        valids.append(valid)
+    return (jnp.concatenate(rgbs, axis=2),
+            jnp.concatenate(valids, axis=1))
+
+
+def evaluate_scene(model, params, scene, H: int = 256, W: int = 256,
+                   n_chunks: int = 8,
+                   lpips_fn: Optional[Callable] = None,
+                   renderer=None) -> dict:
+    """Full eval for one scene dict with full-image query uv.
+
+    Returns numpy metrics + the rendered image, reference protocol
+    (eval_realestate10k.py:131-199)."""
+    if renderer is None:
+        renderer = make_chunk_renderer(model, params)
+    encode, render_chunk = renderer
+    z = encode(scene)
+    rgb, valid = render_full_image(render_chunk, scene, z,
+                                   scene['query']['uv'], n_chunks)
+    pred01 = (rgb.reshape(H, W, 3) + 1.0) * 0.5
+    target01 = (scene['query']['rgb'].reshape(H, W, 3) + 1.0) * 0.5
+    mask = valid.reshape(H, W, 1)
+    metrics = eval_image_metrics(pred01, target01, mask)
+    out = {k: np.asarray(v) for k, v in metrics.items()}
+    if lpips_fn is not None:
+        out['lpips'] = float(np.asarray(lpips_fn(
+            (metrics['pred'] - 0.5) * 2.0, (metrics['target'] - 0.5) * 2.0)))
+    return out

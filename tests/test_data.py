@@ -1,0 +1,124 @@
+"""Data-layer tests: synthetic on-disk RealEstate10K-format scenes
+(npz frame archives + .mat pose table) through the full loading pipeline."""
+
+import numpy as np
+import pytest
+from scipy.io import savemat
+
+from cross_attention_renderer_tpu.data import realestate as re_data
+
+
+@pytest.fixture(scope='module')
+def dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp('re10k')
+    img_root = root / 'frames'
+    img_root.mkdir()
+    rng = np.random.default_rng(0)
+    poses = {}
+    n_frames = 140
+    for s in range(3):
+        name = f'scene{s:03d}'
+        sdir = img_root / name
+        sdir.mkdir()
+        frames = {}
+        rows = []
+        for t in range(n_frames):
+            ts = 1000 * t
+            frames[f'{ts}.png'] = rng.integers(
+                0, 255, (re_data.IMG_H, re_data.IMG_W, 3), dtype=np.uint8)
+            # row: [ts, fx, fy, cx, cy, 0, 0, w2c(3x4 flat)] normalized K
+            w2c = np.eye(4)
+            w2c[:3, 3] = rng.normal(0, 0.1, 3) + [0, 0, 0.01 * t]
+            rows.append([ts, 0.9, 1.6, 0.5, 0.5, 0, 0,
+                         *w2c[:3, :].reshape(-1)])
+        np.savez(sdir / 'data.npz', **frames)
+        poses[name] = np.asarray(rows)
+    # one defective scene: empty dir (no npz)
+    (img_root / 'scene_bad').mkdir()
+    savemat(root / 'poses.mat', poses)
+    return img_root, root / 'poses.mat'
+
+
+def test_train_dataset_layout(dataset_dir):
+    img_root, pose_root = dataset_dir
+    ds = re_data.RealEstate10k(img_root, pose_root, num_ctxt_views=2,
+                               query_sparsity=192, augment=True, seed=1)
+    item = ds[0]
+    ctx, qry = item['context'], item['query']
+    assert ctx['rgb'].shape == (2, 256, 256, 3)
+    assert ctx['cam2world'].shape == (2, 4, 4)
+    assert qry['uv'].shape == (1, 192, 2)
+    assert qry['rgb'].shape == (1, 192, 3)
+    assert np.abs(ctx['rgb']).max() <= 1.0
+    # intrinsics in pixel units for the 256-crop
+    assert 100 < ctx['intrinsics'][0, 0, 0] < 600
+    assert abs(ctx['intrinsics'][0, 0, 2] - 128) < 40
+
+
+def test_defective_scene_resampled(dataset_dir):
+    img_root, pose_root = dataset_dir
+    ds = re_data.RealEstate10k(img_root, pose_root, num_ctxt_views=2,
+                               query_sparsity=64, augment=False, seed=2)
+    # 'scene_bad' sorts last; it must be silently replaced by a valid scene
+    item = ds[len(ds) - 1]
+    assert item['context']['rgb'].shape[0] == 2
+
+
+def test_lpips_patch_sampling(dataset_dir):
+    img_root, pose_root = dataset_dir
+    ds = re_data.RealEstate10k(img_root, pose_root, num_ctxt_views=2,
+                               query_sparsity=192, lpips=True, augment=False,
+                               seed=3)
+    saw = set()
+    for i in range(8):
+        item = ds[i % 3]
+        n = item['query']['uv'].shape[1]
+        mask = float(item['query']['mask'])
+        saw.add((n, mask))
+        if mask == 1.0:
+            # contiguous 32x32 patch
+            uv = item['query']['uv'][0].reshape(32, 32, 2)
+            assert (np.diff(uv[0, :, 0]) == 1).all()
+            assert (np.diff(uv[:, 0, 1]) == 1).all()
+        assert n == 1024
+    assert len(saw) >= 2  # both branches of the coin flip occurred
+
+
+def test_vis_dataset_deterministic_contexts(dataset_dir):
+    img_root, pose_root = dataset_dir
+    ds = re_data.RealEstate10kVis(img_root, pose_root, num_ctxt_views=2,
+                                  seed=4)
+    item = ds[0]
+    # full-image query
+    assert item['query']['uv'].shape == (1, 256 * 256, 2)
+    # context = frames 0 and 128 -> distinct translations
+    assert not np.allclose(item['context']['cam2world'][0],
+                           item['context']['cam2world'][1])
+
+
+def test_trajectory_scene(dataset_dir):
+    img_root, pose_root = dataset_dir
+    # trajectory loader reads per-scene txt pose files
+    scene = sorted(img_root.glob('scene*/'))[0]
+    pose_dir = img_root.parent / 'txt_poses'
+    pose_dir.mkdir(exist_ok=True)
+    from scipy.io import loadmat
+    table = loadmat(str(pose_root))[scene.name]
+    with open(pose_dir / f'{scene.name}.txt', 'w') as f:
+        f.write('header\n')
+        for row in table:
+            f.write(' '.join(str(x) for x in row) + '\n')
+    traj = re_data.trajectory_scene(scene, pose_dir, views=2)
+    assert traj['query']['cam2world'].shape[1] == 127
+    assert traj['context']['rgb'].shape[1] == 2
+
+
+def test_batch_iterator(dataset_dir):
+    img_root, pose_root = dataset_dir
+    ds = re_data.RealEstate10k(img_root, pose_root, num_ctxt_views=2,
+                               query_sparsity=32, augment=False, seed=5)
+    it = re_data.batch_iterator(ds, batch_size=2, to_device=False)
+    batch = next(it)
+    assert batch['context']['rgb'].shape == (2, 2, 256, 256, 3)
+    assert batch['query']['uv'].shape == (2, 1, 32, 2)
+    assert batch['query']['mask'].shape == (2,)

@@ -1,0 +1,51 @@
+"""LPIPS architecture tests (random weights — the learned weights ship via
+the conversion path; no egress here)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cross_attention_renderer_tpu.losses import lpips as L
+
+VGG_LAYER_IDS = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+CHANNELS = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+
+
+@pytest.fixture(scope='module')
+def weights(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    vgg_state, in_ch = {}, 3
+    for lid, ch in zip(VGG_LAYER_IDS, CHANNELS):
+        vgg_state[f'{lid}.weight'] = rng.normal(
+            0, 0.05, (ch, in_ch, 3, 3)).astype(np.float32)
+        vgg_state[f'{lid}.bias'] = np.zeros(ch, np.float32)
+        in_ch = ch
+    lpips_state = {
+        f'lins.{i}.model.1.weight': np.abs(rng.normal(
+            0, 1, (1, c, 1, 1))).astype(np.float32)
+        for i, c in enumerate([64, 128, 256, 512, 512])}
+    out = tmp_path_factory.mktemp('w') / 'lpips_vgg.npz'
+    L.convert_weights(vgg_state, lpips_state, out)
+    return out
+
+
+def test_lpips_properties(weights):
+    fn = L.load_lpips(str(weights))
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    d_aa = np.asarray(fn(a, a))
+    d_ab = np.asarray(fn(a, b))
+    d_ba = np.asarray(fn(b, a))
+    assert d_aa.shape == (2,)
+    np.testing.assert_allclose(d_aa, 0.0, atol=1e-6)
+    assert (d_ab > 0).all()
+    np.testing.assert_allclose(d_ab, d_ba, rtol=1e-5)
+    # closer images -> smaller distance
+    near = a + 0.01 * (b - a)
+    assert (np.asarray(fn(a, near)) < d_ab).all()
+
+
+def test_missing_weights_clear_error(tmp_path):
+    with pytest.raises(FileNotFoundError, match='LPIPS weights not found'):
+        L.load_lpips(str(tmp_path / 'nope.npz'))
