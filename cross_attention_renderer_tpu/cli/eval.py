@@ -32,9 +32,14 @@ def main(argv=None):
                                num_ctxt_views=opt.views)
     model = build_model(opt)
 
-    first = jax.tree.map(lambda x: np.asarray(x)[None],
-                         dataset[0])
-    state = create_train_state(model, first, TrainConfig())
+    first = jax.tree.map(lambda x: np.asarray(x)[None], dataset[0])
+    # init on a small ray slice — parameters don't depend on the ray count,
+    # and tracing init at 65k rays wastes minutes of compile time
+    init_scene = dict(first)
+    init_scene['query'] = dict(first['query'])
+    init_scene['query']['uv'] = first['query']['uv'][:, :, :128]
+    init_scene['query']['rgb'] = first['query']['rgb'][:, :, :128]
+    state = create_train_state(model, init_scene, TrainConfig())
     if opt.checkpoint_path:
         state = restore_checkpoint(opt.checkpoint_path, state)
         print(f'loaded {opt.checkpoint_path}')

@@ -49,7 +49,11 @@ def main(argv=None):
         }
 
     scene0 = jax.tree.map(np.asarray, frame_scene(0))
-    state = create_train_state(model, scene0, TrainConfig())
+    init_scene = dict(scene0)
+    init_scene['query'] = dict(scene0['query'])
+    init_scene['query']['uv'] = scene0['query']['uv'][:, :, :128]
+    init_scene['query']['rgb'] = scene0['query']['rgb'][:, :, :128]
+    state = create_train_state(model, init_scene, TrainConfig())
     if opt.checkpoint_path:
         state = restore_checkpoint(opt.checkpoint_path, state)
     params = state.params

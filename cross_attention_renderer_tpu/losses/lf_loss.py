@@ -39,6 +39,11 @@ def depth_smoothness_loss(model_out: dict, gt: dict,
     patches (the patch sampler guarantees this).
     """
     depth = model_out['depth_ray'][..., 0]
+    if depth.size % (PATCH * PATCH) != 0:
+        # depth smoothness is defined on 32x32 patch samples only; with any
+        # other ray layout the mask would be 0 anyway (the sampler sets
+        # mask=1 only for contiguous patches, realestate10k_dataio.py:380-393)
+        return jnp.zeros((), depth.dtype)
     depth = depth.reshape(-1, PATCH * PATCH)
     mean = depth.mean(axis=-1, keepdims=True)
     dist = l2_weight * jnp.square(depth - mean).mean(axis=-1)

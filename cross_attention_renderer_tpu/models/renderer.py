@@ -215,21 +215,25 @@ class CrossAttentionRenderer(nn.Module):
                          * interval[:, None])              # (B*V, R, P, 2)
 
         # Gather the feature pyramid along the segments (models.py:278).
-        interp_val = grid_sample_pyramid(
-            z, pixel_val.reshape(B * V, R * P, 2), 'border')
+        with jax.named_scope('epipolar_gather'):
+            interp_val = grid_sample_pyramid(
+                z, pixel_val.reshape(B * V, R * P, 2), 'border')
         interp_val = interp_val.reshape(B, V, R, P, -1)
 
         # 3D point on the query ray per epipolar sample (context frame),
         # shared by the latent exchange and the depth head (models.py:283,503).
         eye = jnp.broadcast_to(jnp.eye(4, dtype=lf_coords.dtype),
                                (B * V, 4, 4))
-        pt, dist, parallel = G.epipolar_point_3d(
-            lf_coords, pixel_val, eye, H, W, ctx_intr)     # (B*V, R, P, 3)
+        with jax.named_scope('epipolar_point_3d'):
+            pt, dist, parallel = G.epipolar_point_3d(
+                lf_coords, pixel_val, eye, H, W, ctx_intr)  # (B*V, R, P, 3)
         pt_views = pt.reshape(B, V, R, P, 3)
 
         if self.n_view > 1 and not self.no_latent_concat:
-            interp_val = self._latent_exchange(
-                z, interp_val, pt_views, ctx_c2w, ctx['intrinsics'], H, W)
+            with jax.named_scope('latent_exchange'):
+                interp_val = self._latent_exchange(
+                    z, interp_val, pt_views, ctx_c2w, ctx['intrinsics'],
+                    H, W)
         elif self.no_latent_concat:
             pass
         else:
@@ -357,12 +361,23 @@ class CrossAttentionRenderer(nn.Module):
             pt_views[:, None], rel[:, :, :, None, None])   # (B,K,V,R,P,3)
         pt_in = jnp.where(jnp.isfinite(pt_in), pt_in, 0.0)
 
-        # Project into frame k and gather view-k features at those pixels.
-        proj = G.project_pinhole(pt_in.reshape(B, V, V * R * P, 3), ctx_intr)
-        pix = G.pixel_to_ndc(proj[..., :2], H, W)          # (B,K,V*R*P,2)
-        gathered = grid_sample_pyramid(
-            z, pix.reshape(B * V, V * R * P, 2), 'zeros')
-        gathered = gathered.reshape(B, V, V, R, P, C)      # [k, v]
+        # Project into frame k and gather view-k features there — only for
+        # the cross pairs (k != v); the diagonal uses the epipolar gather
+        # already in hand, so fetching it again would double (V=2) the most
+        # expensive gather in the model.
+        others = [[v for v in range(V) if v != k] for k in range(V)]
+        pt_cross = jnp.stack(
+            [pt_in[:, k, others[k]] for k in range(V)], axis=1
+        )                                                  # (B,K,V-1,R,P,3)
+        proj = G.project_pinhole(
+            pt_cross.reshape(B, V, (V - 1) * R * P, 3), ctx_intr)
+        pix = G.pixel_to_ndc(proj[..., :2], H, W)
+        gathered_x = grid_sample_pyramid(
+            z, pix.reshape(B * V, (V - 1) * R * P, 2), 'zeros')
+        gathered_x = gathered_x.reshape(B, V, V - 1, R, P, C)
+
+        def gathered(k, v):
+            return gathered_x[:, k, others[k].index(v)]
 
         # Gradient stops mirror the reference: at V=2 the self-pair points are
         # detached (models.py:327-328); at V=3 the cross-pair points are
@@ -386,12 +401,12 @@ class CrossAttentionRenderer(nn.Module):
         per_view = []
         for v in range(V):
             self_part = fuse(interp_val[:, v], pt_in[:, v, v], V == 2)
-            others = [fuse(gathered[:, k, v], pt_in[:, k, v], V >= 3)
-                      for k in range(V) if k != v]
+            cross_parts = [fuse(gathered(k, v), pt_in[:, k, v], V >= 3)
+                           for k in range(V) if k != v]
             if V == 2:
-                parts = [self_part, others[0]] if v == 0 else [others[0],
-                                                               self_part]
+                parts = ([self_part, cross_parts[0]] if v == 0
+                         else [cross_parts[0], self_part])
             else:
-                parts = [self_part] + others
+                parts = [self_part] + cross_parts
             per_view.append(jnp.concatenate(parts, axis=-1))
         return jnp.stack(per_view, axis=1)                 # (B,V,R,P,ld*V)

@@ -19,17 +19,23 @@ Array = jax.Array
 
 
 def make_chunk_renderer(model, params) -> tuple[Callable, Callable]:
-    """Returns (encode_fn, render_chunk_fn(scene, z, uv) -> (rgb, valid))."""
-    encode = jax.jit(lambda s: model.apply(params, s, method='encode'))
+    """Returns (encode_fn, render_chunk_fn(scene, z, uv) -> (rgb, valid)).
+
+    Params are jit ARGUMENTS, not closure constants — closing over them bakes
+    every weight into the HLO as literals (hundreds of MB of program)."""
+    encode_jit = jax.jit(
+        lambda p, s: model.apply(p, s, method='encode'))
 
     @jax.jit
-    def render_chunk(scene, z, uv):
+    def render_jit(p, scene, z, uv):
         s = dict(scene)
         s['query'] = dict(scene['query'])
         s['query']['uv'] = uv
-        out = model.apply(params, s, z=z)
+        out = model.apply(p, s, z=z)
         return out['rgb'], out['valid_mask']
 
+    encode = lambda scene: encode_jit(params, scene)
+    render_chunk = lambda scene, z, uv: render_jit(params, scene, z, uv)
     return encode, render_chunk
 
 
