@@ -27,6 +27,15 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument('--no_latent_concat', action='store_true')
     p.add_argument('--no_multiview', action='store_true')
     p.add_argument('--no_high_freq', action='store_true')
+    p.add_argument('--fused_attention', action='store_true',
+                   help='Pallas fused epipolar attention (TPU)')
+    # encoder size knobs (defaults = reference config; smaller for smoke runs)
+    p.add_argument('--fusion_features', type=int, default=256)
+    p.add_argument('--vit_width', type=int, default=768)
+    p.add_argument('--vit_depth', type=int, default=12)
+    p.add_argument('--vit_heads', type=int, default=12)
+    p.add_argument('--resnet_layers', type=int, nargs=3, default=(3, 4, 9))
+    p.add_argument('--npoints', type=int, default=0)
     return p
 
 
@@ -35,4 +44,8 @@ def build_model(opt):
     return CrossAttentionRenderer(
         n_view=opt.views, model=opt.model, no_sample=opt.no_sample,
         no_latent_concat=opt.no_latent_concat, no_multiview=opt.no_multiview,
-        no_high_freq=opt.no_high_freq)
+        no_high_freq=opt.no_high_freq, npoints=opt.npoints,
+        fused_attention=opt.fused_attention,
+        fusion_features=opt.fusion_features, vit_width=opt.vit_width,
+        vit_depth=opt.vit_depth, vit_heads=opt.vit_heads,
+        resnet_layers=tuple(opt.resnet_layers))

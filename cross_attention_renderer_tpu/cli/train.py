@@ -41,15 +41,27 @@ def main(argv=None):
     p.add_argument('--data_parallel', type=int, default=0,
                    help='DP ways (0 = all devices)')
     p.add_argument('--tensor_parallel', type=int, default=1)
+    p.add_argument('--val_img_root', type=str, default=None)
+    p.add_argument('--val_pose_root', type=str, default=None)
+    p.add_argument('--co3d_root', type=str, default=None,
+                   help='train on CO3D-v2 instead of npz scenes')
+    p.add_argument('--co3d_category', type=str, default='all_nerformer')
     opt = p.parse_args(argv)
 
     log_dir = Path(opt.logging_root) / opt.experiment_name
     ckpt_dir = log_dir / 'checkpoints'
     ckpt_dir.mkdir(parents=True, exist_ok=True)
 
-    dataset = RealEstate10k(
-        opt.img_root, opt.pose_root, num_ctxt_views=opt.views,
-        query_sparsity=opt.query_sparsity, lpips=opt.lpips, augment=True)
+    if opt.co3d_root:
+        from cross_attention_renderer_tpu.data.co3d import CO3Dv2Dataset
+        dataset = CO3Dv2Dataset(opt.co3d_root, category=opt.co3d_category,
+                                subset='fewview_train',
+                                num_input_views=opt.views,
+                                query_sparsity=opt.query_sparsity)
+    else:
+        dataset = RealEstate10k(
+            opt.img_root, opt.pose_root, num_ctxt_views=opt.views,
+            query_sparsity=opt.query_sparsity, lpips=opt.lpips, augment=True)
     data = batch_iterator(dataset, opt.batch_size)
 
     model = build_model(opt)
@@ -85,8 +97,28 @@ def main(argv=None):
                 for k, v in vals.items():
                     writer.add_scalar(k, v, step)
 
+    val_fn = None
+    if opt.val_img_root and writer is not None:
+        from cross_attention_renderer_tpu.data.realestate import (
+            RealEstate10kVis)
+        from cross_attention_renderer_tpu.train.summaries import (
+            write_summaries)
+        val_ds = RealEstate10kVis(opt.val_img_root,
+                                  opt.val_pose_root or opt.pose_root,
+                                  num_ctxt_views=opt.views)
+
+        def val_fn(state, step):
+            import numpy as _np
+            scene = jax.tree.map(lambda x: _np.asarray(x)[None], val_ds[0])
+            # render a small ray slice for the summary images
+            scene['query']['uv'] = scene['query']['uv'][:, :, :4096]
+            scene['query']['rgb'] = scene['query']['rgb'][:, :, :4096]
+            out = jax.jit(model.apply)(state.params, scene)
+            write_summaries(writer, step, scene,
+                            jax.tree.map(_np.asarray, out), prefix='val_')
+
     fit(model, cfg, data, opt.max_steps, ckpt_dir=str(ckpt_dir), mesh=mesh,
-        state=state, log_fn=log_fn)
+        state=state, log_fn=log_fn, val_fn=val_fn)
 
 
 if __name__ == '__main__':

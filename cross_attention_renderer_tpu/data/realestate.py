@@ -47,9 +47,10 @@ NFRAME_VIEW = 92            # min context separation (realestate10k_dataio.py:29
 QUERY_WINDOW = 64           # query within +-64 of the context span
 
 
-def full_uv_grid(dim: int = CROP) -> np.ndarray:
+def full_uv_grid(dim: Optional[int] = None) -> np.ndarray:
     """(dim*dim, 2) pixel (x, y) coords, x varying fastest
     (realestate10k_dataio.py:238-245)."""
+    dim = CROP if dim is None else dim
     i, j = np.meshgrid(np.arange(dim), np.arange(dim), indexing='xy')
     return np.stack([i, j], -1).reshape(-1, 2).astype(np.float32)
 
@@ -419,6 +420,8 @@ def batch_iterator(dataset, batch_size: int, seed: int = 0,
         order = rng.permutation(n)
         for i in range(0, n - batch_size + 1, batch_size):
             items = [dataset[int(j)] for j in order[i:i + batch_size]]
+            for it in items:
+                it.pop('sequence', None)  # non-numeric metadata (CO3D)
             batch = jax.tree.map(lambda *xs: np.stack(xs), *items)
             # query 'mask' stacks to (B,) per-sample patch flags
             if to_device:

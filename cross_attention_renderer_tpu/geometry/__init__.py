@@ -7,6 +7,8 @@ float32-stable Plücker math, branchless case analysis, static shapes.
 from cross_attention_renderer_tpu.geometry.rays import (
     closest_to_origin,
     epipolar_point_3d,
+    essential_matrix,
+    fundamental_matrix,
     homogenize_mat,
     lift,
     ndc_to_pixel,
@@ -35,7 +37,8 @@ from cross_attention_renderer_tpu.geometry.epipolar import (
 
 __all__ = [
     'PointProjection', 'RaySegmentProjection', 'closest_to_origin',
-    'epipolar_point_3d', 'epipolar_segments_ndc', 'homogenize_mat', 'lift',
+    'epipolar_point_3d', 'epipolar_segments_ndc', 'essential_matrix',
+    'fundamental_matrix', 'homogenize_mat', 'lift',
     'ndc_to_pixel', 'parse_intrinsics', 'pixel_to_ndc', 'plucker_embedding',
     'plucker_intersection', 'plucker_parallel', 'plucker_sd', 'points_to_cam',
     'project_pinhole', 'project_rays', 'ray_directions', 'ray_directions_cam',

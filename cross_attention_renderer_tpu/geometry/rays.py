@@ -272,6 +272,35 @@ def transform_dirs(dirs: Array, transform: Array) -> Array:
     return jnp.einsum('...ij,...j->...i', transform[..., :3, :3], dirs, precision=lax.Precision.HIGHEST)
 
 
+def essential_matrix(c2w_1: Array, c2w_2: Array) -> Array:
+    """Essential matrix between two cameras. Ref: geometry.py:22-36
+    (kept for API completeness; the main render path derives epipolar
+    segments via :func:`project_rays` instead)."""
+    R = jnp.einsum('...ij,...ik->...jk', c2w_2[..., :3, :3],
+                   c2w_1[..., :3, :3], precision=lax.Precision.HIGHEST)
+    T = ray_origin(c2w_2) - ray_origin(c2w_1)
+    x, y, z = T[..., 0], T[..., 1], T[..., 2]
+    zero = jnp.zeros_like(x)
+    S = jnp.stack([
+        jnp.stack([zero, -z, y], -1),
+        jnp.stack([z, zero, -x], -1),
+        jnp.stack([-y, x, zero], -1)], -2)
+    return jnp.einsum('...ij,...jk->...ik', R, S,
+                      precision=lax.Precision.HIGHEST)
+
+
+def fundamental_matrix(c2w_1: Array, c2w_2: Array, intr_1: Array,
+                       intr_2: Array) -> Array:
+    """Fundamental matrix from poses + intrinsics. Ref: geometry.py:39-45."""
+    E = essential_matrix(c2w_1, c2w_2)
+    k1 = jnp.linalg.inv(intr_1[..., :3, :3])
+    k2 = jnp.linalg.inv(intr_2[..., :3, :3])
+    left = jnp.einsum('...ji,...jk->...ik', k1, E,
+                      precision=lax.Precision.HIGHEST)
+    return jnp.einsum('...ij,...jk->...ik', left, k2,
+                      precision=lax.Precision.HIGHEST)
+
+
 def homogenize_mat(mat3x4_or_rows: Array) -> Array:
     """Append the homogeneous [0,0,0,1] row to (..., 3, 4) matrices."""
     row = jnp.zeros_like(mat3x4_or_rows[..., :1, :])

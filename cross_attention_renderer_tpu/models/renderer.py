@@ -67,6 +67,9 @@ class CrossAttentionRenderer(nn.Module):
     no_multiview: bool = False    # zero the pose embedding
     no_high_freq: bool = False    # zero the full-res conv branch
     repeat_attention: bool = True
+    # Use the fused Pallas joint-softmax attention kernel (TPU); the jnp
+    # reference path is algebraically identical and used for gradients.
+    fused_attention: bool = False
     # Encoder size knobs (reference config = defaults). Smaller settings keep
     # the architecture identical for fast CPU tests.
     fusion_features: int = 256
@@ -272,11 +275,9 @@ class CrossAttentionRenderer(nn.Module):
                              self.query_embed_2)
 
         # Round-1 joint attention over (view, sample) (models.py:532-541).
-        at_wt = self._joint_softmax(
-            jnp.sum(key_val * coords_embed, axis=-1) * ATTN_SCALE)
-        z_local = jnp.sum(joint_latent * at_wt[..., None], axis=3)
-        z_local = jnp.broadcast_to(
-            jnp.sum(z_local, axis=1, keepdims=True), z_local.shape)
+        z_sum, at_wt = self._attend(coords_embed, key_val, joint_latent)
+        z_local = jnp.broadcast_to(z_sum[:, None], joint_latent.shape[:3]
+                                   + (joint_latent.shape[-1],))
 
         # Round 2: query conditioned on the round-1 latent (models.py:547-565).
         if self.repeat_attention:
@@ -289,13 +290,14 @@ class CrossAttentionRenderer(nn.Module):
             query_embed_local = _mlp2(query_embed_local,
                                       self.query_repeat_embed,
                                       self.query_repeat_embed_2)
-            at_wt2 = self._joint_softmax(
-                jnp.sum(query_embed_local * coords_embed, axis=-1)
-                * ATTN_SCALE)
-            z_local = jnp.sum(joint_latent * at_wt2[..., None],
-                              axis=3) + z_local
+            z_sum2, _ = self._attend(query_embed_local, coords_embed,
+                                     joint_latent)
+            # (sum_v of z2 + V * z_sum) broadcast back — identical to the
+            # reference's per-view add then cross-view sum
+            # (models.py:561-565) since round-1 z_local is already the
+            # view-broadcast sum.
             z_local = jnp.broadcast_to(
-                jnp.sum(z_local, axis=1, keepdims=True), z_local.shape)
+                (z_sum2 + V * z_sum)[:, None], z_local.shape)
 
         # Attention-derived depth, round-1 weights (models.py:573-594).
         pt_clamp = jnp.clip(pt_views, -100.0, 100.0)
@@ -330,12 +332,16 @@ class CrossAttentionRenderer(nn.Module):
         return out
 
     # ------------------------------------------------------------------
-    def _joint_softmax(self, dots: Array) -> Array:
-        """Softmax over the joint (view, sample) axis. (B,V,R,P)->(B,V,R,P)."""
-        B, V, R, P = dots.shape
-        flat = dots.transpose(0, 2, 1, 3).reshape(B, R, V * P)
-        wt = jax.nn.softmax(flat, axis=-1)
-        return wt.reshape(B, R, V, P).transpose(0, 2, 1, 3)
+    def _attend(self, query_embed: Array, key_embed: Array,
+                values: Array) -> tuple[Array, Array]:
+        """Joint (view, sample) softmax attention -> (z_sum (B,R,C), at_wt).
+
+        Dispatches to the fused Pallas kernel or the jnp reference."""
+        from cross_attention_renderer_tpu.ops.epipolar_attention import (
+            epipolar_attention, epipolar_attention_reference)
+        fn = (epipolar_attention if self.fused_attention
+              else epipolar_attention_reference)
+        return fn(query_embed, key_embed, values)
 
     def _latent_exchange(self, z: tuple, interp_val: Array, pt_views: Array,
                          ctx_c2w: Array, ctx_intr: Array,

@@ -102,6 +102,8 @@ def grid_sample_pyramid(pyramid: tuple[Array, ...], coords_ndc: Array,
     Returns:
       (B, N, sum(Ci)).
     """
+    from cross_attention_renderer_tpu.ops.pallas_gather import (
+        grid_sample_auto)
     return jnp.concatenate(
-        [grid_sample(fm, coords_ndc, padding_mode) for fm in pyramid],
+        [grid_sample_auto(fm, coords_ndc, padding_mode) for fm in pyramid],
         axis=-1)

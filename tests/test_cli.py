@@ -1,0 +1,80 @@
+"""CLI smoke tests: train a few steps and evaluate one scene end-to-end via
+the argparse entry points (tiny encoder, CPU, synthetic on-disk dataset)."""
+
+import sys
+
+import numpy as np
+import pytest
+from scipy.io import savemat
+
+TINY_FLAGS = ['--fusion_features', '32', '--vit_width', '64',
+              '--vit_depth', '2', '--vit_heads', '2',
+              '--resnet_layers', '1', '1', '1', '--npoints', '8']
+
+
+@pytest.fixture(scope='module')
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp('cli_ds')
+    img_root = root / 'frames'
+    img_root.mkdir()
+    rng = np.random.default_rng(0)
+    poses = {}
+    for s in range(2):
+        name = f'scene{s:03d}'
+        (img_root / name).mkdir()
+        frames, rows = {}, []
+        for t in range(140):
+            ts = 1000 * t
+            frames[f'{ts}.png'] = rng.integers(
+                0, 255, (64, 114, 3), dtype=np.uint8)
+            w2c = np.eye(4)
+            w2c[:3, 3] = rng.normal(0, 0.05, 3) + [0, 0, 0.01 * t]
+            rows.append([ts, 0.9, 1.6, 0.5, 0.5, 0, 0,
+                         *w2c[:3, :].reshape(-1)])
+        np.savez(img_root / name / 'data.npz', **frames)
+        poses[name] = np.asarray(rows)
+    savemat(root / 'poses.mat', poses)
+    return img_root, root / 'poses.mat'
+
+
+def test_train_cli_smoke(dataset, tmp_path, monkeypatch):
+    # 64-pixel frames break the 256-crop assumptions of the real loader;
+    # patch the constants for the smoke run.
+    from cross_attention_renderer_tpu.data import realestate as re_data
+    monkeypatch.setattr(re_data, 'IMG_H', 64)
+    monkeypatch.setattr(re_data, 'IMG_W', 114)
+    monkeypatch.setattr(re_data, 'CROP', 64)
+    img_root, pose_root = dataset
+    from cross_attention_renderer_tpu.cli import train as train_cli
+    train_cli.main([
+        '--img_root', str(img_root), '--pose_root', str(pose_root),
+        '--logging_root', str(tmp_path), '--experiment_name', 'smoke',
+        '--batch_size', '1', '--max_steps', '2', '--query_sparsity', '16',
+        '--lr', '1e-4', '--steps_til_summary', '100',
+        *TINY_FLAGS])
+    assert (tmp_path / 'smoke' / 'checkpoints' / 'final').exists()
+
+
+def test_eval_cli_smoke(dataset, tmp_path, monkeypatch, capsys):
+    from cross_attention_renderer_tpu.data import realestate as re_data
+    monkeypatch.setattr(re_data, 'IMG_H', 64)
+    monkeypatch.setattr(re_data, 'IMG_W', 114)
+    monkeypatch.setattr(re_data, 'CROP', 64)
+    # full_uv_grid is captured at dataset init; rebuild for the 64 crop
+    img_root, pose_root = dataset
+    from cross_attention_renderer_tpu.cli import eval as eval_cli
+    from cross_attention_renderer_tpu.train import evaluation as ev
+    orig = ev.evaluate_scene
+
+    def eval64(model, params, scene, **kw):
+        kw.update(H=64, W=64)
+        return orig(model, params, scene, **kw)
+
+    monkeypatch.setattr(ev, 'evaluate_scene', eval64)
+    monkeypatch.setattr(eval_cli, 'evaluate_scene', eval64)
+    eval_cli.main([
+        '--img_root', str(img_root), '--pose_root', str(pose_root),
+        '--logging_root', str(tmp_path), '--experiment_name', 'smoke_eval',
+        '--max_scenes', '1', '--n_chunks', '4', *TINY_FLAGS])
+    out = capsys.readouterr().out
+    assert 'psnr=' in out and 'ssim=' in out

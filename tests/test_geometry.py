@@ -152,3 +152,13 @@ def test_transform_points_roundtrip(gold):
     world = G.transform_points(pts, c2w[:, None, :, :])
     back = G.points_to_cam(world, c2w[:, None, :, :])
     np.testing.assert_allclose(back, pts, atol=1e-4)
+
+
+def test_essential_fundamental_matrices(gold):
+    """vs reference oracle recordings (fixtures/ef_golden.npz)."""
+    ef = np.load(FIX.parent / 'ef_golden.npz')
+    E = G.essential_matrix(f32(gold['c2w']), f32(gold['c2w2']))
+    F = G.fundamental_matrix(f32(gold['c2w']), f32(gold['c2w2']),
+                             f32(gold['intr']), f32(gold['intr2']))
+    np.testing.assert_allclose(np.asarray(E), ef['E'], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(F), ef['F'], atol=1e-5)
