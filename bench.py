@@ -36,7 +36,9 @@ N_BLOCKS = (H * W) // RAY_BLOCK
 def main():
     scene = make_scene(0, batch=1, n_view=2, H=H, W=W, n_rays=H * W,
                        full_image=True)
-    model = CrossAttentionRenderer(n_view=2)
+    # bf16 compute (params stay f32): measured 1.4x over f32 on v5e with no
+    # structural change (BENCH_NOTES.md).
+    model = CrossAttentionRenderer(n_view=2, dtype=jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), scene)
 
     encode = jax.jit(lambda p, s: model.apply(p, s, method='encode'))

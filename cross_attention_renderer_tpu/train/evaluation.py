@@ -61,6 +61,31 @@ def render_full_image(render_chunk, scene, z, uv_full: Array,
             jnp.concatenate(valids, axis=1))
 
 
+def make_sharded_renderer(model, params, mesh) -> Callable:
+    """Ray-sharded full-image renderer: rays split over the mesh's 'rays'
+    axis (sequence parallelism — rays are independent until image assembly,
+    SURVEY.md §2.2). Returns fn(scene, z, uv) -> (rgb, valid) with uv
+    sharded over devices and outputs gathered.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    @jax.jit
+    def render(p, scene, z, uv):
+        s = dict(scene)
+        s['query'] = dict(scene['query'])
+        s['query']['uv'] = uv
+        out = model.apply(p, s, z=z)
+        return out['rgb'], out['valid_mask']
+
+    ray_sharding = NamedSharding(mesh, P(None, None, 'rays', None))
+
+    def sharded(scene, z, uv):
+        uv = jax.device_put(uv, ray_sharding)
+        return render(params, scene, z, uv)
+
+    return sharded
+
+
 def evaluate_scene(model, params, scene, H: int = 256, W: int = 256,
                    n_chunks: int = 8,
                    lpips_fn: Optional[Callable] = None,

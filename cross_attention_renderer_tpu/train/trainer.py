@@ -177,18 +177,31 @@ def restore_checkpoint(ckpt_dir: str | Path, state: TrainState,
 def fit(model, cfg: TrainConfig, data_iter: Iterator[dict], max_steps: int,
         ckpt_dir: Optional[str] = None, mesh=None, state: Optional[TrainState] = None,
         log_fn: Optional[Callable[[int, dict], None]] = None,
-        val_fn: Optional[Callable[[TrainState, int], None]] = None) -> TrainState:
-    """Single curriculum stage: iterate `data_iter` for `max_steps` steps."""
+        val_fn: Optional[Callable[[TrainState, int], None]] = None,
+        resume: bool = True) -> TrainState:
+    """Single curriculum stage: iterate `data_iter` for `max_steps` steps.
+
+    Fault tolerance (the trainer-level recovery the reference lacks —
+    SURVEY.md §5): when ``resume`` and a 'current' checkpoint exists in
+    ``ckpt_dir``, training continues from it (params + optimizer + step).
+    """
     first = next(data_iter)
     if state is None:
         state = create_train_state(model, first, cfg)
+        if (resume and ckpt_dir
+                and (Path(ckpt_dir) / 'current').exists()):
+            state = restore_checkpoint(ckpt_dir, state, 'current',
+                                       restore_optimizer=True)
+            print(f'resumed from {ckpt_dir}/current at step '
+                  f'{int(state.step)}', flush=True)
     if mesh is not None:
         state = shard_state(state, mesh)
     step_fn = make_train_step(model, cfg, mesh)
 
     t0 = time.time()
     scene = first
-    for i in range(max_steps):
+    start = int(state.step)
+    for i in range(start, max_steps):
         state, metrics = step_fn(state, scene)
         if i + 1 < max_steps:
             scene = next(data_iter)

@@ -1,0 +1,36 @@
+"""Ray-sharded rendering over the 'rays' mesh axis matches single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cross_attention_renderer_tpu.data import make_scene
+from cross_attention_renderer_tpu.models import CrossAttentionRenderer
+from cross_attention_renderer_tpu.parallel import make_mesh
+from cross_attention_renderer_tpu.train.evaluation import (
+    make_chunk_renderer, make_sharded_renderer)
+
+TINY = dict(fusion_features=32, vit_width=64, vit_depth=2, vit_heads=2,
+            resnet_layers=(1, 1, 1))
+
+
+def test_ray_sharded_matches_single():
+    mesh = make_mesh(data=1, model=1, rays=8)
+    model = CrossAttentionRenderer(n_view=2, npoints=8, **TINY)
+    scene = make_scene(0, batch=1, n_view=2, H=64, W=64, n_rays=256)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), scene)
+
+    encode, render_chunk = make_chunk_renderer(model, params)
+    z = encode(scene)
+    uv = scene['query']['uv']
+    rgb_single, valid_single = render_chunk(scene, z, uv)
+
+    sharded = make_sharded_renderer(model, params, mesh)
+    rgb_sh, valid_sh = sharded(scene, z, uv)
+
+    assert len(set(d.device for d in
+                   rgb_sh.addressable_shards)) >= 1
+    np.testing.assert_allclose(np.asarray(rgb_sh),
+                               np.asarray(rgb_single), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(valid_sh),
+                                  np.asarray(valid_single))
