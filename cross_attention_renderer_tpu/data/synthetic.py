@@ -33,6 +33,73 @@ def make_intrinsics(H: int, W: int, focal_scale: float = 1.0) -> np.ndarray:
     return k
 
 
+def _plane_color(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Smooth deterministic texture on the z=0 plane, range [-1, 1]."""
+    r = np.sin(2.1 * x) * np.cos(1.3 * y)
+    g = np.sin(1.7 * x + 0.5) * np.sin(2.9 * y)
+    b = np.cos(1.1 * x * y + 1.0)
+    return np.stack([r, g, b], -1)
+
+
+def _render_plane(c2w: np.ndarray, K: np.ndarray, H: int, W: int
+                  ) -> np.ndarray:
+    """Analytically render the textured z=0 plane from a camera."""
+    i, j = np.meshgrid(np.arange(W), np.arange(H), indexing='xy')
+    x = (i - K[0, 2]) / K[0, 0]
+    y = (j - K[1, 2]) / K[1, 1]
+    dirs_cam = np.stack([x, y, np.ones_like(x)], -1)
+    dirs = dirs_cam @ c2w[:3, :3].T
+    origin = c2w[:3, 3]
+    t = -origin[2] / np.where(np.abs(dirs[..., 2]) < 1e-6, 1e-6,
+                              dirs[..., 2])
+    pts = origin[None, None] + t[..., None] * dirs
+    rgb = _plane_color(pts[..., 0], pts[..., 1])
+    return np.where((t > 0)[..., None], rgb, -1.0)
+
+
+def make_plane_scene(seed: int, n_view: int = 2, H: int = 64, W: int = 64,
+                     n_rays: int = 0, dtype=jnp.float32) -> dict:
+    """Geometrically CONSISTENT synthetic scene: all views are analytic
+    renders of one textured plane, so a correct epipolar renderer can learn
+    to synthesize held-out query views (unlike the random-noise scenes from
+    :func:`make_scene`, which only test plumbing)."""
+    rng = np.random.default_rng(seed)
+    K = make_intrinsics(H, W)
+
+    def cam(eye_seed):
+        r = np.random.default_rng(eye_seed)
+        eye = np.array([r.uniform(-0.6, 0.6), r.uniform(-0.6, 0.6),
+                        -2.0 + r.uniform(-0.3, 0.3)])
+        return look_at_cam2world(eye, np.array([0.0, 0.0, 0.0]),
+                                 up=(0.0, 1.0, 0.0))
+
+    ctx_c2w = np.stack([cam(1000 * seed + v) for v in range(n_view)])
+    qry_c2w = cam(1000 * seed + 777)[None]
+
+    ctx_rgb = np.stack([_render_plane(c, K, H, W) for c in ctx_c2w])
+    qry_img = _render_plane(qry_c2w[0], K, H, W)
+
+    i, j = np.meshgrid(np.arange(W), np.arange(H), indexing='xy')
+    uv_full = np.stack([i, j], -1).reshape(-1, 2).astype(np.float64)
+    rgb_full = qry_img.reshape(-1, 3)
+    if n_rays:
+        sel = rng.permutation(H * W)[:n_rays]
+        uv, gt = uv_full[sel], rgb_full[sel]
+    else:
+        uv, gt = uv_full, rgb_full
+
+    f = lambda x: jnp.asarray(x, dtype)
+    return {
+        'context': {'rgb': f(ctx_rgb[None]),
+                    'cam2world': f(ctx_c2w[None]),
+                    'intrinsics': f(np.broadcast_to(K, (1, n_view, 4, 4)))},
+        'query': {'cam2world': f(qry_c2w[None]),
+                  'intrinsics': f(K[None, None]),
+                  'uv': f(uv[None, None]), 'rgb': f(gt[None, None]),
+                  'mask': jnp.zeros((1,), dtype)},
+    }
+
+
 def make_scene(seed: int, batch: int = 1, n_view: int = 2, H: int = 64,
                W: int = 64, n_rays: int = 128, full_image: bool = False,
                dtype=jnp.float32) -> dict:

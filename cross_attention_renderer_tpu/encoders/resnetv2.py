@@ -58,13 +58,36 @@ class StdConv(nn.Module):
         return y
 
 
+def max_pool_same(x: Array, window: tuple[int, int],
+                  strides: tuple[int, int]) -> Array:
+    """Max pool with TF-SAME padding using a finite pad value.
+
+    ``nn.max_pool(padding='SAME')`` pads with -inf, and the select-and-
+    scatter backward of -inf-padded windows produces NaN gradients on the
+    TPU backend (isolated in round-1 debugging: plain conv + GN + that pool
+    alone NaNs; swapping only the pool fixes it). Padding with a large
+    finite value keeps the same forward semantics for real activations.
+    """
+    H, W = x.shape[-3], x.shape[-2]
+    pads = []
+    for size, k, s in ((H, window[0], strides[0]), (W, window[1],
+                                                    strides[1])):
+        out = -(-size // s)
+        total = max((out - 1) * s + k - size, 0)
+        pads.append((total // 2, total - total // 2))
+    x = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)),
+                constant_values=-1e30)
+    return nn.max_pool(x, window, strides=strides, padding='VALID')
+
+
 class GroupNormRelu(nn.Module):
     """GroupNorm(32) + ReLU (timm ``GroupNormAct``)."""
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, use_fast_variance=False,
+                         dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -108,7 +131,7 @@ class ResNetV2Stem(nn.Module):
         x = StdConv(self.width, (7, 7), (2, 2), dtype=self.dtype,
                     name='stem_conv')(x)
         x = GroupNormRelu(dtype=self.dtype, name='stem_norm')(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding='SAME')
+        x = max_pool_same(x, (3, 3), (2, 2))
 
         outs = []
         in_factor = 4

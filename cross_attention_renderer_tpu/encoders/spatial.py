@@ -28,8 +28,8 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        gn = lambda name: nn.GroupNorm(num_groups=32, dtype=self.dtype,
-                                       name=name)
+        gn = lambda name: nn.GroupNorm(num_groups=32, use_fast_variance=False,
+                                       dtype=self.dtype, name=name)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
                     padding=1, use_bias=False, dtype=self.dtype,
                     name='conv1')(x)
@@ -40,8 +40,8 @@ class BasicBlock(nn.Module):
         if x.shape[-1] != self.features or self.stride != 1:
             x = nn.Conv(self.features, (1, 1), strides=(self.stride,) * 2,
                         use_bias=False, dtype=self.dtype, name='proj')(x)
-            x = nn.GroupNorm(num_groups=32, dtype=self.dtype,
-                             name='proj_norm')(x)
+            x = nn.GroupNorm(num_groups=32, use_fast_variance=False,
+                             dtype=self.dtype, name='proj_norm')(x)
         return nn.relu(y + x)
 
 

@@ -40,12 +40,14 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm1')(x)
+        h = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False,
+                         dtype=self.dtype, name='norm1')(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, qkv_features=self.width,
             use_bias=True, dtype=self.dtype, name='attn')(h, h)
         x = x + h
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm2')(x)
+        h = nn.LayerNorm(epsilon=1e-6, use_fast_variance=False,
+                         dtype=self.dtype, name='norm2')(x)
         h = nn.Dense(int(self.width * self.mlp_ratio), dtype=self.dtype,
                      name='mlp_fc1')(h)
         h = nn.gelu(h, approximate=False)

@@ -14,9 +14,11 @@ from cross_attention_renderer_tpu.geometry.rays import (
     ndc_to_pixel,
     parse_intrinsics,
     pixel_to_ndc,
+    plucker_distance,
     plucker_embedding,
     plucker_intersection,
     plucker_parallel,
+    plucker_reciprocal_product,
     plucker_sd,
     points_to_cam,
     project_pinhole,
@@ -38,7 +40,8 @@ from cross_attention_renderer_tpu.geometry.epipolar import (
 __all__ = [
     'PointProjection', 'RaySegmentProjection', 'closest_to_origin',
     'epipolar_point_3d', 'epipolar_segments_ndc', 'essential_matrix',
-    'fundamental_matrix', 'homogenize_mat', 'lift',
+    'fundamental_matrix', 'homogenize_mat', 'lift', 'plucker_distance',
+    'plucker_reciprocal_product',
     'ndc_to_pixel', 'parse_intrinsics', 'pixel_to_ndc', 'plucker_embedding',
     'plucker_intersection', 'plucker_parallel', 'plucker_sd', 'points_to_cam',
     'project_pinhole', 'project_rays', 'ray_directions', 'ray_directions_cam',

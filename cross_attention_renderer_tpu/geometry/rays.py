@@ -272,6 +272,24 @@ def transform_dirs(dirs: Array, transform: Array) -> Array:
     return jnp.einsum('...ij,...j->...i', transform[..., :3, :3], dirs, precision=lax.Precision.HIGHEST)
 
 
+def plucker_reciprocal_product(line_1: Array, line_2: Array) -> Array:
+    """Reciprocal product <l1, l2> (zero iff the lines intersect).
+
+    Ref: geometry.py:284-286."""
+    return (jnp.sum(line_1[..., :3] * line_2[..., 3:], axis=-1)
+            + jnp.sum(line_2[..., :3] * line_1[..., 3:], axis=-1))
+
+
+def plucker_distance(line_1: Array, line_2: Array,
+                     eps: float = 1e-12) -> Array:
+    """Distance between two Plücker lines. Ref: geometry.py:289-293."""
+    cross = jnp.cross(jnp.broadcast_to(line_1[..., :3],
+                                       line_2[..., :3].shape),
+                      line_2[..., :3])
+    denom = jnp.maximum(jnp.linalg.norm(cross, axis=-1), eps)
+    return jnp.abs(plucker_reciprocal_product(line_1, line_2)) / denom
+
+
 def essential_matrix(c2w_1: Array, c2w_2: Array) -> Array:
     """Essential matrix between two cameras. Ref: geometry.py:22-36
     (kept for API completeness; the main render path derives epipolar

@@ -70,30 +70,39 @@ def create_train_state(model, scene, cfg: TrainConfig,
 
 
 def make_loss_fn(model, cfg: TrainConfig,
-                 lpips_fn: Optional[Callable] = None):
+                 lpips_fn: Optional[Callable] = None,
+                 loss_schedules: Optional[dict] = None):
+    """loss_schedules: optional {loss_name: fn(step)->weight}, evaluated
+    inside the jitted step (fns must be jnp-traceable). Ref: the per-loss
+    schedule hooks in training.py:96-107."""
     loss = LFLoss(l2_weight=cfg.l2_weight, depth=cfg.depth,
                   lpips_fn=lpips_fn if cfg.lpips else None)
 
-    def loss_fn(params, scene):
+    def loss_fn(params, scene, step=0):
         out = model.apply(params, scene)
         losses = loss(out, scene['query'])
+        if loss_schedules:
+            losses = {k: (v * loss_schedules[k](step)
+                          if k in loss_schedules else v)
+                      for k, v in losses.items()}
         return total_loss(losses), losses
 
     return loss_fn
 
 
 def make_train_step(model, cfg: TrainConfig, mesh=None,
-                    lpips_fn: Optional[Callable] = None):
+                    lpips_fn: Optional[Callable] = None,
+                    loss_schedules: Optional[dict] = None):
     """Build the jitted (state, scene) -> (state, metrics) step.
 
     With a mesh, parameters/opt-state follow the TP rules and the scene is
     batch-sharded over 'data'; XLA inserts the gradient all-reduce.
     """
-    loss_fn = make_loss_fn(model, cfg, lpips_fn)
+    loss_fn = make_loss_fn(model, cfg, lpips_fn, loss_schedules)
 
     def step(state: TrainState, scene) -> tuple[TrainState, dict]:
         (tot, losses), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, scene)
+            loss_fn, has_aux=True)(state.params, scene, state.step)
         gnorm = optax.global_norm(grads)
         new_state = state.apply_gradients(grads=grads)
         metrics = {'total_loss': tot, 'grad_norm': gnorm}
