@@ -164,15 +164,19 @@ def grid_sample_auto(features: Array, coords_ndc: Array,
                      padding_mode: str = 'border') -> Array:
     """Pallas path on TPU, jnp take path elsewhere."""
     from cross_attention_renderer_tpu.ops.grid_sample import grid_sample
-    if os.environ.get('CAR_PALLAS_GATHER') and (
-            jax.default_backend() in ('tpu', 'axon')):
-        B, H, W, C = features.shape
-        if H * W * C * 2 <= 3 * 1024 * 1024:
-            return grid_sample_pallas(features, coords_ndc, padding_mode)
+    on_tpu = jax.default_backend() in ('tpu', 'axon')
+    B, H, W, C = features.shape
+    small_table = B * H * W * C * 2 <= 4 * 1024 * 1024
+    if on_tpu and small_table and not os.environ.get('CAR_NO_PALLAS_GATHER'):
+        # Banded kernel wins on raster-coherent epipolar coords for small
+        # tables (64²x256 level: 48 vs 65 ms at 1M samples, BENCH_NOTES.md);
+        # bigger levels lose to band-DMA overhead and use the take path.
+        from cross_attention_renderer_tpu.ops.banded_gather import (
+            grid_sample_banded)
+        return grid_sample_banded(features, coords_ndc, padding_mode)
+    if on_tpu and os.environ.get('CAR_PALLAS_GATHER'):
+        return grid_sample_pallas(features, coords_ndc, padding_mode)
     # Measured on v5e: XLA's flat row-take reaches ~65 ms for 1M samples on
-    # a 64^2x256 level, while the one-hot matmul spends as long building the
-    # selector on the VPU as the MXU contraction it feeds (~86 ms). The
-    # kernel stays available behind CAR_PALLAS_GATHER=1 as the basis for a
-    # future locality-aware (line-bucketed) variant; the default is the
-    # take path.
+    # a 64^2x256 level, while the flat one-hot matmul spends as long building
+    # the selector on the VPU as the MXU contraction it feeds (~86 ms).
     return grid_sample(features, coords_ndc, padding_mode)
