@@ -13,7 +13,6 @@ NCCL. Usage:
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 
 import jax

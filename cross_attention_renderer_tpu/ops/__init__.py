@@ -1,11 +1,23 @@
-"""Hot-path ops: bilinear epipolar gather and fused epipolar attention.
+"""Hot-path ops: bilinear epipolar gathers and fused epipolar attention.
 
-XLA reference implementations plus Pallas TPU kernels.
+XLA reference implementations plus Pallas TPU kernels; see BENCH_NOTES.md
+for when each path wins.
 """
 
 from cross_attention_renderer_tpu.ops.grid_sample import (
     grid_sample,
     grid_sample_pyramid,
 )
+from cross_attention_renderer_tpu.ops.banded_gather import grid_sample_banded
+from cross_attention_renderer_tpu.ops.epipolar_attention import (
+    epipolar_attention,
+    epipolar_attention_reference,
+)
+from cross_attention_renderer_tpu.ops.pallas_gather import (
+    grid_sample_auto,
+    grid_sample_pallas,
+)
 
-__all__ = ['grid_sample', 'grid_sample_pyramid']
+__all__ = ['epipolar_attention', 'epipolar_attention_reference',
+           'grid_sample', 'grid_sample_auto', 'grid_sample_banded',
+           'grid_sample_pallas', 'grid_sample_pyramid']

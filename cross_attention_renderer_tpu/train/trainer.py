@@ -18,7 +18,6 @@ Optimizer matches the reference prescription: Adam(lr 5e-5, betas
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from pathlib import Path
 from typing import Any, Callable, Iterator, Optional
@@ -26,7 +25,6 @@ from typing import Any, Callable, Iterator, Optional
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
 from flax.training import train_state
 
 from cross_attention_renderer_tpu.losses import LFLoss, total_loss
