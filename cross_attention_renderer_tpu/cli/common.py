@@ -39,6 +39,39 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
+class FrameWriter:
+    """mp4 writer with a PNG-sequence fallback (no ffmpeg in some envs)."""
+
+    def __init__(self, out_path: str, fps: int = 10):
+        import imageio
+        self._imageio = imageio
+        self.frames_dir = None
+        self.writer = None
+        self.count = 0
+        try:
+            self.writer = imageio.get_writer(out_path, fps=fps)
+            self.path = out_path
+        except Exception:
+            from pathlib import Path
+            self.frames_dir = Path(str(out_path) + '.frames')
+            self.frames_dir.mkdir(parents=True, exist_ok=True)
+            self.path = str(self.frames_dir)
+            print(f'no mp4 backend (ffmpeg missing); writing PNG frames '
+                  f'to {self.frames_dir}', flush=True)
+
+    def append(self, frame):
+        if self.writer is not None:
+            self.writer.append_data(frame)
+        else:
+            self._imageio.imwrite(
+                self.frames_dir / f'{self.count:04d}.png', frame)
+        self.count += 1
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()
+
+
 def build_model(opt):
     from cross_attention_renderer_tpu.models import CrossAttentionRenderer
     return CrossAttentionRenderer(

@@ -14,7 +14,8 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from cross_attention_renderer_tpu.cli.common import base_parser, build_model
+from cross_attention_renderer_tpu.cli.common import (FrameWriter,
+    base_parser, build_model)
 from cross_attention_renderer_tpu.data.realestate import trajectory_scene
 from cross_attention_renderer_tpu.train import (
     TrainConfig, create_train_state, restore_checkpoint)
@@ -62,8 +63,7 @@ def main(argv=None):
     z = encode(scene0)
     n_chunks = max(1, (H * W) // opt.ray_chunk)
 
-    import imageio
-    writer = imageio.get_writer(opt.out, fps=10)
+    writer = FrameWriter(opt.out, fps=10)
     psnrs, ssims = [], []
     for i in range(n_frames):
         scene = jax.tree.map(np.asarray, frame_scene(i))
@@ -77,12 +77,12 @@ def main(argv=None):
         m = eval_image_metrics(pred01, target01, mask)
         psnrs.append(float(m['psnr']))
         ssims.append(float(m['ssim']))
-        writer.append_data(
+        writer.append(
             (np.clip(np.asarray(m['pred']), 0, 1) * 255).astype(np.uint8))
         print(f'frame {i + 1}/{n_frames} {time.time() - t0:.2f}s '
               f'psnr={psnrs[-1]:.2f} ssim={ssims[-1]:.3f}', flush=True)
     writer.close()
-    print(f'wrote {opt.out}; mean psnr={np.mean(psnrs):.2f} '
+    print(f'wrote {writer.path}; mean psnr={np.mean(psnrs):.2f} '
           f'ssim={np.mean(ssims):.3f}')
 
 

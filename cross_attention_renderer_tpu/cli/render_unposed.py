@@ -14,7 +14,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from cross_attention_renderer_tpu.cli.common import base_parser, build_model
+from cross_attention_renderer_tpu.cli.common import (FrameWriter,
+    base_parser, build_model)
 
 
 def main(argv=None):
@@ -67,16 +68,16 @@ def main(argv=None):
     z = encode(scene0)
     n_chunks = max(1, (H * W) // opt.ray_chunk)
 
-    writer = imageio.get_writer(opt.out, fps=10)
+    writer = FrameWriter(opt.out, fps=10)
     for i in range(n_frames):
         scene = jax.tree.map(np.asarray, frame_scene(i))
         rgb, _ = render_full_image(render_chunk, scene, z,
                                    scene['query']['uv'], n_chunks)
         img = np.asarray((rgb.reshape(H, W, 3) + 1) * 0.5)
-        writer.append_data((np.clip(img, 0, 1) * 255).astype(np.uint8))
+        writer.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
         print(f'frame {i + 1}/{n_frames}', flush=True)
     writer.close()
-    print(f'wrote {opt.out}')
+    print(f'wrote {writer.path}')
 
 
 if __name__ == '__main__':
