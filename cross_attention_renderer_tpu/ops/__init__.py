@@ -9,15 +9,19 @@ from cross_attention_renderer_tpu.ops.grid_sample import (
     grid_sample_pyramid,
 )
 from cross_attention_renderer_tpu.ops.banded_gather import grid_sample_banded
+# NOTE: the fused-attention function shares its module's name; re-export it
+# under an alias so `ops.epipolar_attention` stays the module.
 from cross_attention_renderer_tpu.ops.epipolar_attention import (
-    epipolar_attention,
+    epipolar_attention as fused_epipolar_attention,
     epipolar_attention_reference,
 )
+from cross_attention_renderer_tpu.ops import epipolar_attention  # module
 from cross_attention_renderer_tpu.ops.pallas_gather import (
     grid_sample_auto,
     grid_sample_pallas,
 )
 
 __all__ = ['epipolar_attention', 'epipolar_attention_reference',
-           'grid_sample', 'grid_sample_auto', 'grid_sample_banded',
-           'grid_sample_pallas', 'grid_sample_pyramid']
+           'fused_epipolar_attention', 'grid_sample', 'grid_sample_auto',
+           'grid_sample_banded', 'grid_sample_pallas',
+           'grid_sample_pyramid']

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from cross_attention_renderer_tpu.ops import epipolar_attention as EA
+import cross_attention_renderer_tpu.ops.epipolar_attention as EA
 
 
 def _data(B=2, V=2, R=100, P=16, D=32, C=40, seed=0):
