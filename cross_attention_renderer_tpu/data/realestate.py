@@ -282,15 +282,23 @@ class RealEstate10k:
         return id_feat, id_render
 
     def __getitem__(self, idx: int) -> dict:
-        for _ in range(100):  # defective-scene resample loop
-            loaded = self.store.load(idx)
-            sampled = (self._sample_ids(len(loaded[1]))
-                       if loaded is not None else None)
-            if sampled is not None:
-                break
+        # Defective scenes (missing npz/pose/frames, corrupt archives,
+        # timestamps absent from the pose table) are skipped by resampling a
+        # random index, mirroring realestate10k_dataio.py:259-278.
+        for _ in range(100):
+            try:
+                return self._load_item(idx)
+            except (IndexError, KeyError, OSError, ValueError):
+                pass
             idx = int(self.rng.integers(0, len(self.store)))
-        else:
-            raise RuntimeError('no valid scenes found')
+        raise RuntimeError('no valid scenes found')
+
+    def _load_item(self, idx: int) -> dict:
+        loaded = self.store.load(idx)
+        sampled = (self._sample_ids(len(loaded[1]))
+                   if loaded is not None else None)
+        if sampled is None:
+            raise ValueError('defective scene')
         data, files, ts, pose = loaded
         id_feat, id_render = sampled
 
