@@ -101,6 +101,7 @@ class DPTHybridEncoder(nn.Module):
     vit_width: int = 768
     vit_depth: int = 12
     vit_heads: int = 12
+    remat: bool = False
     resnet_layers: tuple[int, int, int] = (3, 4, 9)
     resnet_width: int = 64
     dtype: Any = jnp.float32
@@ -119,7 +120,7 @@ class DPTHybridEncoder(nn.Module):
         grids = stage2.reshape(B, V, Hg, Wg, stage2.shape[-1])
         taps = (max(self.vit_depth * 3 // 4 - 1, 0), self.vit_depth - 1)
         tap3, tap4 = MultiViewViT(width=self.vit_width, depth=self.vit_depth,
-                                  heads=self.vit_heads,
+                                  heads=self.vit_heads, remat=self.remat,
                                   taps=(8, 11) if self.vit_depth == 12
                                   else taps,
                                   dtype=self.dtype, name='vit')(

@@ -68,6 +68,9 @@ class MultiViewViT(nn.Module):
     heads: int = 12
     taps: tuple[int, int] = (8, 11)
     pretrain_grid: int = 24  # pos_embed stored for 384/16 = 24x24 + cls
+    # rematerialize transformer blocks in the backward pass (trades ~1/3 more
+    # FLOPs for O(depth) less activation memory — enables bigger batches)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -102,10 +105,12 @@ class MultiViewViT(nn.Module):
         tokens = x.shape[1]
         x = x.reshape(B, V * tokens, self.width)
 
+        block_cls = (nn.remat(TransformerBlock) if self.remat
+                     else TransformerBlock)
         tap_acts = {}
         for i in range(self.depth):
-            x = TransformerBlock(width=self.width, heads=self.heads,
-                                 dtype=self.dtype, name=f'block{i}')(x)
+            x = block_cls(width=self.width, heads=self.heads,
+                          dtype=self.dtype, name=f'block{i}')(x)
             if i in self.taps:
                 tap_acts[i] = x
 

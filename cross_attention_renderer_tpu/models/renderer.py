@@ -76,6 +76,7 @@ class CrossAttentionRenderer(nn.Module):
     vit_width: int = 768
     vit_depth: int = 12
     vit_heads: int = 12
+    remat: bool = False     # rematerialize ViT blocks (memory for FLOPs)
     resnet_layers: tuple[int, int, int] = (3, 4, 9)
     dtype: Any = jnp.float32
 
@@ -106,6 +107,7 @@ class CrossAttentionRenderer(nn.Module):
             self.encoder = DPTHybridEncoder(
                 features=self.fusion_features, vit_width=self.vit_width,
                 vit_depth=self.vit_depth, vit_heads=self.vit_heads,
+                remat=self.remat,
                 resnet_layers=self.resnet_layers, dtype=self.dtype)
             self.conv_map = nn.Conv(64, (7, 7), padding=3, dtype=self.dtype)
         elif self.model == 'resnet':

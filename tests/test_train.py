@@ -109,3 +109,20 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # reference semantics: optimizer state deliberately not restored
     assert int(restored.step) == 0
+
+
+def test_remat_grads_match():
+    """Rematerialized ViT blocks must compute identical gradients."""
+    scene = make_scene(0, batch=1, n_view=2, H=64, W=64, n_rays=16)
+    base = CrossAttentionRenderer(n_view=2, npoints=8, **TINY)
+    remat = CrossAttentionRenderer(n_view=2, npoints=8, remat=True, **TINY)
+    params = base.init(jax.random.PRNGKey(0), scene)
+
+    def loss(model, p):
+        out = model.apply(p, scene)
+        return jnp.abs(out['rgb'] - scene['query']['rgb']).mean()
+
+    g1 = jax.grad(lambda p: loss(base, p))(params)
+    g2 = jax.grad(lambda p: loss(remat, p))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
