@@ -192,7 +192,8 @@ def _frame_camera(pose_table, timestamp: int):
 
 def _load_frame(data, fname: str, pose_table, timestamp: int,
                 rng: Optional[np.random.Generator], do_augment: bool,
-                rgb_pre: Optional[np.ndarray] = None):
+                rgb_pre: Optional[np.ndarray] = None,
+                always_resize: bool = False):
     """One frame -> (rgb [-1,1], pixel intrinsics, cam2world).
 
     ``rgb_pre`` short-circuits image decoding with an already
@@ -201,7 +202,10 @@ def _load_frame(data, fname: str, pose_table, timestamp: int,
     if rgb_pre is not None and not do_augment:
         return rgb_pre, intr, c2w
     rgb = data[fname]
-    if rgb.shape[0] == 360:
+    # RealEstate resizes only 360p inputs (realestate10k_dataio.py:357-358);
+    # ACID resizes unconditionally (acid_dataio.py:387).
+    if rgb.shape[0] == 360 or (always_resize
+                               and rgb.shape[:2] != (IMG_H, IMG_W)):
         rgb = _resize(rgb, (IMG_H, IMG_W))
     rgb = square_crop(rgb)
     if do_augment:
@@ -254,8 +258,20 @@ class RealEstate10k:
         self.uv = full_uv_grid()
         self.rng = np.random.default_rng(seed)
 
+    # Frames are resized only when 360p (ACID overrides to always resize).
+    always_resize = False
+
     def __len__(self) -> int:
         return len(self.store)
+
+    def _query_bounds(self, id_feat: np.ndarray, n_frames: int):
+        """Query-frame window around the context span
+        (realestate10k_dataio.py:317-341): +-64 extrapolative at <=2 views,
+        strictly interior at 3 views."""
+        if self.num_ctxt_views <= 2:
+            return (max(id_feat.min() - QUERY_WINDOW, 0),
+                    min(id_feat.max() + QUERY_WINDOW, n_frames - 1))
+        return id_feat.min() + QUERY_WINDOW, id_feat.max() - QUERY_WINDOW
 
     def _sample_ids(self, n_frames: int):
         """Context/query frame selection (realestate10k_dataio.py:296-344)."""
@@ -270,12 +286,7 @@ class RealEstate10k:
                                     | (candidates > pick + NFRAME_VIEW)]
             id_feats.append(int(pick))
         id_feat = np.array(id_feats)
-        if self.num_ctxt_views <= 2:
-            low = max(id_feat.min() - QUERY_WINDOW, 0)
-            high = min(id_feat.max() + QUERY_WINDOW, n_frames - 1)
-        else:
-            low = id_feat.min() + QUERY_WINDOW
-            high = id_feat.max() - QUERY_WINDOW
+        low, high = self._query_bounds(id_feat, n_frames)
         if high <= low:
             return None
         id_render = rng.integers(low, high, size=self.num_query_views)
@@ -317,7 +328,8 @@ class RealEstate10k:
         for i in id_render:
             rgb, intr, c2w = _load_frame(data, files[i], pose, ts[i],
                                          self.rng, self.augment,
-                                         rgb_pre=pre.get(i))
+                                         rgb_pre=pre.get(i),
+                                         always_resize=self.always_resize)
             uv, rgb_sel, mask = _subsample_rays(
                 self.rng, rgb.reshape(-1, 3), self.uv, self.query_sparsity,
                 self.lpips)
@@ -330,7 +342,8 @@ class RealEstate10k:
         for i in id_feat:
             rgb, intr, c2w = _load_frame(data, files[i], pose, ts[i],
                                          self.rng, self.augment,
-                                         rgb_pre=pre.get(i))
+                                         rgb_pre=pre.get(i),
+                                         always_resize=self.always_resize)
             c_rgb.append(rgb)
             c_intr.append(intr)
             c_c2w.append(c2w)

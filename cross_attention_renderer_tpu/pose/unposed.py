@@ -98,8 +98,12 @@ def make_circle(direction: np.ndarray, n: int, radius: float = 0.03
     angles = np.linspace(0, 4 * np.pi, n)
     coord = np.stack([np.cos(angles) * radius, np.sin(angles) * radius,
                       np.linspace(0, 1, n)], axis=-1)
-    axis_1 = np.array([1.0, 0, 0])
-    axis_1 = axis_1 - (direction * axis_1).sum() * direction
+    # Seed axis: whichever of x-hat / y-hat is less parallel to `direction`
+    # (the reference NaNs when the baseline is parallel to [1,0,0],
+    # load_video_superglue.py:61-63; we keep the same result otherwise).
+    candidates = np.eye(3)[:2]
+    seed = candidates[np.argmin(np.abs(candidates @ direction))]
+    axis_1 = seed - (direction * seed).sum() * direction
     axis_1 = axis_1 / np.linalg.norm(axis_1)
     axis_2 = np.cross(axis_1, direction)
     rot = np.stack([axis_1, axis_2, direction], axis=1)

@@ -85,16 +85,28 @@ def write_summaries(writer, step: int, scene: dict, model_out: dict,
                          dataformats='HWC')
 
     rgb = np.asarray(model_out['rgb'][0, 0])                  # (R,3)
+    depth = np.asarray(model_out['depth_ray'][0, :, 0])       # (R,)
     n = rgb.shape[0]
     side = int(np.sqrt(n))
     if side * side == n:
         img = np.clip((rgb.reshape(side, side, 3) + 1) * 0.5, 0, 1)
-        writer.add_image(prefix + 'prediction', img, step,
-                         dataformats='HWC')
-        depth = np.asarray(model_out['depth_ray'][0, :, 0]).reshape(side,
-                                                                    side)
-        writer.add_image(prefix + 'depth', colorize_depth(depth), step,
-                         dataformats='HWC')
+        depth_img = colorize_depth(depth.reshape(side, side))
+    else:
+        # Sparse train-time ray sets (e.g. query_sparsity=192) don't tile
+        # into an image; scatter each predicted ray at its uv position over
+        # a mid-grey canvas so train summaries stay populated (the reference
+        # only wrote val images, training.py:121-122 commented out — we keep
+        # train-time visibility instead).
+        H, W = ctx01.shape[1:3]
+        uv = np.asarray(scene['query']['uv'][0, 0])[:n]        # (R,2) pixels
+        xs = np.clip(uv[:, 0].astype(int), 0, W - 1)
+        ys = np.clip(uv[:, 1].astype(int), 0, H - 1)
+        img = np.full((H, W, 3), 0.5, np.float32)
+        img[ys, xs] = np.clip((rgb + 1) * 0.5, 0, 1)
+        depth_img = np.zeros((H, W, 3), np.uint8)
+        depth_img[ys, xs] = colorize_depth(depth[None])[0]
+    writer.add_image(prefix + 'prediction', img, step, dataformats='HWC')
+    writer.add_image(prefix + 'depth', depth_img, step, dataformats='HWC')
     pix = np.asarray(model_out['pixel_val'][0])               # (V,R,P,2)
     painted = paint_epipolar_points(ctx01, pix, at_wt[0])
     for v in range(painted.shape[0]):

@@ -109,3 +109,16 @@ def test_rotate_interpolate_path():
     rr = path[:, :3, :3]
     err = np.abs(rr @ rr.transpose(0, 2, 1) - np.eye(3)).max()
     assert err < 1e-5
+    # baseline exactly parallel to [1,0,0]: the reference NaNs here
+    # (load_video_superglue.py:61-63); we must stay finite
+    assert np.isfinite(path).all()
+
+
+def test_make_circle_degenerate_axes():
+    """make_circle must be finite for baselines parallel to any seed axis."""
+    for d in ([1.0, 0, 0], [-1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0],
+              [0.6, 0.8, 0]):
+        d = np.asarray(d) / np.linalg.norm(d)
+        out = up.make_circle(d, 16)
+        assert np.isfinite(out).all(), d
+        assert out.shape == (16, 3)

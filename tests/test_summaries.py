@@ -52,3 +52,30 @@ def test_write_summaries_tensorboard(tmp_path):
     S.write_summaries(writer, 3, scene, out, prefix='val_')
     writer.close()
     assert any(tmp_path.iterdir())  # an events file was written
+
+
+def test_write_summaries_nonsquare_rays(tmp_path):
+    """Train-time sparse ray sets (query_sparsity=192) must still produce
+    prediction/depth images (scattered at uv), not silently skip them."""
+    tbx = pytest.importorskip('tensorboardX')
+    written = []
+    writer = tbx.SummaryWriter(str(tmp_path))
+    orig = writer.add_image
+    writer.add_image = lambda tag, *a, **k: (written.append(tag),
+                                             orig(tag, *a, **k))
+    B, V, R, P, H = 1, 2, 192, 8, 16
+    rng = np.random.default_rng(2)
+    scene = {
+        'context': {'rgb': rng.uniform(-1, 1, (B, V, H, H, 3))},
+        'query': {'uv': rng.uniform(0, H, (B, 1, R, 2))},
+    }
+    out = {
+        'at_wt': rng.dirichlet(np.ones(V * P), (B, R)).reshape(
+            B, R, V, P).transpose(0, 2, 1, 3),
+        'rgb': rng.uniform(-1, 1, (B, 1, R, 3)),
+        'depth_ray': rng.uniform(0, 5, (B, R, 1)),
+        'pixel_val': rng.uniform(-1, 1, (B, V, R, P, 2)),
+    }
+    S.write_summaries(writer, 7, scene, out, prefix='train_')
+    writer.close()
+    assert 'train_prediction' in written and 'train_depth' in written
