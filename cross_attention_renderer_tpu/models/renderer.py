@@ -65,6 +65,12 @@ class CrossAttentionRenderer(nn.Module):
     no_sample: bool = False       # volumetric uniform-depth sampling ablation
     no_latent_concat: bool = False
     no_multiview: bool = False    # zero the pose embedding
+    # Reproduce the reference's 3-view exchange index swap (models.py:384-393
+    # projects frame-v coordinates of view-k rays onto frame k) instead of
+    # the geometrically consistent pairing. Only meaningful at n_view >= 3;
+    # exists so golden-parity tests can pin the reference bit-for-bit while
+    # the default stays fixed (see DEVIATIONS.md).
+    reference_exchange_compat: bool = False
     no_high_freq: bool = False    # zero the full-res conv branch
     repeat_attention: bool = True
     # Use the fused Pallas joint-softmax attention kernel (TPU); the jnp
@@ -374,9 +380,17 @@ class CrossAttentionRenderer(nn.Module):
         # already in hand, so fetching it again would double (V=2) the most
         # expensive gather in the model.
         others = [[v for v in range(V) if v != k] for k in range(V)]
-        pt_cross = jnp.stack(
-            [pt_in[:, k, others[k]] for k in range(V)], axis=1
-        )                                                  # (B,K,V-1,R,P,3)
+        swap = self.reference_exchange_compat and V >= 3
+        if swap:
+            # Reference V=3 wiring (models.py:384-393): frame k's map is
+            # sampled at the projection of pt_in[v, k] (frame-v coordinates
+            # of view-k rays' samples) rather than pt_in[k, v].
+            pt_cross = jnp.stack(
+                [pt_in[:, others[k], k] for k in range(V)], axis=1)
+        else:
+            pt_cross = jnp.stack(
+                [pt_in[:, k, others[k]] for k in range(V)], axis=1
+            )                                              # (B,K,V-1,R,P,3)
         proj = G.project_pinhole(
             pt_cross.reshape(B, V, (V - 1) * R * P, 3), ctx_intr)
         pix = G.pixel_to_ndc(proj[..., :2], H, W)
@@ -409,12 +423,21 @@ class CrossAttentionRenderer(nn.Module):
         per_view = []
         for v in range(V):
             self_part = fuse(interp_val[:, v], pt_in[:, v, v], V == 2)
-            cross_parts = [fuse(gathered(k, v), pt_in[:, k, v], V >= 3)
+            cross_parts = [fuse(gathered(k, v),
+                                pt_in[:, v, k] if swap else pt_in[:, k, v],
+                                V >= 3)
                            for k in range(V) if k != v]
             if V == 2:
                 parts = ([self_part, cross_parts[0]] if v == 0
                          else [cross_parts[0], self_part])
             else:
                 parts = [self_part] + cross_parts
-            per_view.append(jnp.concatenate(parts, axis=-1))
+            if swap:
+                # Reference V>=3 channel layout (models.py:443-446):
+                # cat(dim=2).flatten(1, 2) interleaves as (channel, slot)
+                # rather than the V=2 slot-major stack.
+                iv = jnp.stack(parts, axis=-1)
+                per_view.append(iv.reshape(iv.shape[:-2] + (-1,)))
+            else:
+                per_view.append(jnp.concatenate(parts, axis=-1))
         return jnp.stack(per_view, axis=1)                 # (B,V,R,P,ld*V)
