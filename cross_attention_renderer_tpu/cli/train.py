@@ -29,6 +29,9 @@ from cross_attention_renderer_tpu.train import (
 def main(argv=None):
     p = base_parser('Train the cross-attention renderer on TPU')
     p.add_argument('--batch_size', type=int, default=12)
+    p.add_argument('--num_workers', type=int, default=8,
+                   help='prefetch worker threads (reference: 8 torch '
+                        'DataLoader workers, train_realestate10k.py:81)')
     p.add_argument('--lr', type=float, default=5e-5)
     p.add_argument('--max_steps', type=int, default=200000)
     p.add_argument('--query_sparsity', type=int, default=192)
@@ -61,7 +64,8 @@ def main(argv=None):
         dataset = RealEstate10k(
             opt.img_root, opt.pose_root, num_ctxt_views=opt.views,
             query_sparsity=opt.query_sparsity, lpips=opt.lpips, augment=True)
-    data = batch_iterator(dataset, opt.batch_size)
+    data = batch_iterator(dataset, opt.batch_size,
+                          num_workers=opt.num_workers)
 
     model = build_model(opt)
     cfg = TrainConfig(lr=opt.lr, depth=opt.depth, lpips=opt.lpips,

@@ -30,6 +30,8 @@ Key reference behaviors preserved:
 from __future__ import annotations
 
 import dataclasses
+import threading
+from collections import OrderedDict
 from pathlib import Path
 from typing import Iterator, Optional
 
@@ -136,16 +138,28 @@ class SceneStore:
         if use_native:
             from cross_attention_renderer_tpu.data import native_loader
             self.use_native = native_loader.available()
-        self._native_cache: dict = {}
+        self._native_cache: 'OrderedDict' = OrderedDict()
+        self._native_lock = threading.Lock()
 
     def native_frames(self, idx: int, fnames: list[str]) -> np.ndarray:
-        """(N, 256, 256, 3) float frames in [-1, 1] via the native core."""
+        """(N, 256, 256, 3) float frames in [-1, 1] via the native core.
+
+        Thread-safe: prefetch workers (``batch_iterator(num_workers>0)``)
+        share a small LRU of open archives; the decode itself runs without
+        the GIL on the C++ pool."""
         from cross_attention_renderer_tpu.data import native_loader
         scene = self.scenes[idx]
-        if idx not in self._native_cache:
-            npzs = sorted(scene.glob('*.npz'))
-            self._native_cache = {idx: native_loader.NativeNpz(npzs[0])}
-        return self._native_cache[idx].load_frames(
+        with self._native_lock:
+            arch = self._native_cache.get(idx)
+            if arch is None:
+                npzs = sorted(scene.glob('*.npz'))
+                arch = native_loader.NativeNpz(npzs[0])
+                self._native_cache[idx] = arch
+                while len(self._native_cache) > 16:
+                    self._native_cache.popitem(last=False)
+            else:
+                self._native_cache.move_to_end(idx)
+        return arch.load_frames(
             list(fnames), out_hw=(CROP, CROP), resize_hw=(IMG_H, IMG_W),
             square_crop=True)
 
@@ -199,8 +213,14 @@ def _load_frame(data, fname: str, pose_table, timestamp: int,
     ``rgb_pre`` short-circuits image decoding with an already
     decoded/cropped/normalized frame from the native loader."""
     intr, c2w = _frame_camera(pose_table, timestamp)
-    if rgb_pre is not None and not do_augment:
-        return rgb_pre, intr, c2w
+    if rgb_pre is not None:
+        if not do_augment:
+            return rgb_pre, intr, c2w
+        # Augment (flip/crop/resize) commutes with the [-1,1] normalization
+        # the native core already applied, so the C++ decode path serves the
+        # training loop too (reference: 8 DataLoader workers/rank,
+        # train_realestate10k.py:81).
+        return augment(rng, rgb_pre, intr, c2w)
     rgb = data[fname]
     # RealEstate resizes only 360p inputs (realestate10k_dataio.py:357-358);
     # ACID resizes unconditionally (acid_dataio.py:387).
@@ -257,6 +277,14 @@ class RealEstate10k:
         self.lpips = lpips
         self.uv = full_uv_grid()
         self.rng = np.random.default_rng(seed)
+        self._rng_lock = threading.Lock()
+
+    def _spawn_rng(self) -> np.random.Generator:
+        """Fork a per-item generator so prefetch workers never share
+        mutable RNG state (np.random.Generator is not thread-safe)."""
+        with self._rng_lock:
+            return np.random.default_rng(
+                int(self.rng.integers(np.iinfo(np.int64).max)))
 
     # Frames are resized only when 360p (ACID overrides to always resize).
     always_resize = False
@@ -273,9 +301,10 @@ class RealEstate10k:
                     min(id_feat.max() + QUERY_WINDOW, n_frames - 1))
         return id_feat.min() + QUERY_WINDOW, id_feat.max() - QUERY_WINDOW
 
-    def _sample_ids(self, n_frames: int):
+    def _sample_ids(self, n_frames: int,
+                    rng: Optional[np.random.Generator] = None):
         """Context/query frame selection (realestate10k_dataio.py:296-344)."""
-        rng = self.rng
+        rng = self.rng if rng is None else rng
         candidates = np.arange(0, n_frames - 1)
         id_feats = []
         for _ in range(self.num_ctxt_views):
@@ -296,17 +325,20 @@ class RealEstate10k:
         # Defective scenes (missing npz/pose/frames, corrupt archives,
         # timestamps absent from the pose table) are skipped by resampling a
         # random index, mirroring realestate10k_dataio.py:259-278.
+        rng = self._spawn_rng()
         for _ in range(100):
             try:
-                return self._load_item(idx)
+                return self._load_item(idx, rng)
             except (IndexError, KeyError, OSError, ValueError):
                 pass
-            idx = int(self.rng.integers(0, len(self.store)))
+            idx = int(rng.integers(0, len(self.store)))
         raise RuntimeError('no valid scenes found')
 
-    def _load_item(self, idx: int) -> dict:
+    def _load_item(self, idx: int,
+                   rng: Optional[np.random.Generator] = None) -> dict:
+        rng = self.rng if rng is None else rng
         loaded = self.store.load(idx)
-        sampled = (self._sample_ids(len(loaded[1]))
+        sampled = (self._sample_ids(len(loaded[1]), rng)
                    if loaded is not None else None)
         if sampled is None:
             raise ValueError('defective scene')
@@ -315,7 +347,7 @@ class RealEstate10k:
 
         # Native fast path: decode the whole frame batch on the C++ pool.
         pre = {}
-        if self.store.use_native and not self.augment:
+        if self.store.use_native:
             all_ids = list(id_render) + list(id_feat)
             try:
                 frames = self.store.native_frames(
@@ -327,11 +359,11 @@ class RealEstate10k:
         q_rgb, q_intr, q_c2w, q_uv, mask = [], [], [], [], 0.0
         for i in id_render:
             rgb, intr, c2w = _load_frame(data, files[i], pose, ts[i],
-                                         self.rng, self.augment,
+                                         rng, self.augment,
                                          rgb_pre=pre.get(i),
                                          always_resize=self.always_resize)
             uv, rgb_sel, mask = _subsample_rays(
-                self.rng, rgb.reshape(-1, 3), self.uv, self.query_sparsity,
+                rng, rgb.reshape(-1, 3), self.uv, self.query_sparsity,
                 self.lpips)
             q_rgb.append(rgb_sel)
             q_uv.append(uv)
@@ -341,7 +373,7 @@ class RealEstate10k:
         c_rgb, c_intr, c_c2w = [], [], []
         for i in id_feat:
             rgb, intr, c2w = _load_frame(data, files[i], pose, ts[i],
-                                         self.rng, self.augment,
+                                         rng, self.augment,
                                          rgb_pre=pre.get(i),
                                          always_resize=self.always_resize)
             c_rgb.append(rgb)
@@ -370,7 +402,9 @@ class RealEstate10kVis(RealEstate10k):
         kwargs.setdefault('query_sparsity', None)
         super().__init__(*args, **kwargs)
 
-    def _sample_ids(self, n_frames: int):
+    def _sample_ids(self, n_frames: int,
+                    rng: Optional[np.random.Generator] = None):
+        rng = self.rng if rng is None else rng
         start, end = 0, min(n_frames - 1, 128)
         mid = end // 2
         id_feat = {1: [start], 2: [start, end],
@@ -380,7 +414,7 @@ class RealEstate10kVis(RealEstate10k):
               if np.abs(id_feat - i).min() > 10]
         if not ok:
             return None
-        return id_feat, np.array([self.rng.choice(ok)])
+        return id_feat, np.array([rng.choice(ok)])
 
 
 def trajectory_scene(scene_path, pose_dir, views: int = 2,
@@ -430,21 +464,76 @@ def trajectory_scene(scene_path, pose_dir, views: int = 2,
 
 
 def batch_iterator(dataset, batch_size: int, seed: int = 0,
-                   to_device: bool = True) -> Iterator[dict]:
+                   to_device: bool = True, num_workers: int = 0,
+                   prefetch: int = 2) -> Iterator[dict]:
     """Deterministic sharded-shuffle batch iterator (replaces the reference's
-    per-rank independent shuffling, train_realestate10k.py:80-86)."""
+    8-worker-per-rank torch DataLoader, train_realestate10k.py:80-86).
+
+    ``num_workers > 0`` loads items on a thread pool and assembles batches on
+    a background thread, keeping up to ``prefetch`` device-ready batches
+    ahead of the training step — input decode (which runs GIL-free in the
+    native C++ core) overlaps TPU compute instead of serializing with it.
+    """
     import jax
     import jax.numpy as jnp
     rng = np.random.default_rng(seed)
     n = len(dataset)
-    while True:
-        order = rng.permutation(n)
-        for i in range(0, n - batch_size + 1, batch_size):
-            items = [dataset[int(j)] for j in order[i:i + batch_size]]
-            for it in items:
-                it.pop('sequence', None)  # non-numeric metadata (CO3D)
-            batch = jax.tree.map(lambda *xs: np.stack(xs), *items)
-            # query 'mask' stacks to (B,) per-sample patch flags
-            if to_device:
-                batch = jax.tree.map(jnp.asarray, batch)
-            yield batch
+
+    def index_stream() -> Iterator[int]:
+        while True:
+            order = rng.permutation(n)
+            for i in range(0, n - batch_size + 1, batch_size):
+                yield from (int(j) for j in order[i:i + batch_size])
+
+    def assemble(items: list) -> dict:
+        for it in items:
+            it.pop('sequence', None)  # non-numeric metadata (CO3D)
+        batch = jax.tree.map(lambda *xs: np.stack(xs), *items)
+        # query 'mask' stacks to (B,) per-sample patch flags
+        if to_device:
+            batch = jax.tree.map(jnp.asarray, batch)
+        return batch
+
+    idxs = index_stream()
+    if num_workers <= 0:
+        while True:
+            yield assemble([dataset[next(idxs)] for _ in range(batch_size)])
+        return
+
+    import queue
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    out: 'queue.Queue' = queue.Queue(maxsize=max(1, prefetch))
+    stop = threading.Event()
+
+    def producer():
+        try:
+            with ThreadPoolExecutor(num_workers) as pool:
+                pending: deque = deque()
+                while not stop.is_set():
+                    while len(pending) < batch_size * (prefetch + 1):
+                        pending.append(
+                            pool.submit(dataset.__getitem__, next(idxs)))
+                    items = [pending.popleft().result()
+                             for _ in range(batch_size)]
+                    batch = assemble(items)
+                    while not stop.is_set():
+                        try:
+                            out.put(batch, timeout=0.2)
+                            break
+                        except queue.Full:
+                            pass
+        except BaseException as e:  # surface worker crashes to the consumer
+            out.put(e)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = out.get()
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

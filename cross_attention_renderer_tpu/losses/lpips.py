@@ -62,7 +62,9 @@ def _vgg_features(weights: dict, x: Array) -> list[Array]:
 
 
 def _normalize_channels(x: Array, eps: float = 1e-10) -> Array:
-    return x / jnp.sqrt(jnp.sum(x ** 2, axis=-1, keepdims=True) + eps)
+    # eps is added to the norm, not the sum — exactly the lpips package's
+    # normalize_tensor (lpips/__init__.py), pinned by the torch parity test.
+    return x / (jnp.sqrt(jnp.sum(x ** 2, axis=-1, keepdims=True)) + eps)
 
 
 def lpips_distance(weights: dict, img0: Array, img1: Array) -> Array:

@@ -195,13 +195,18 @@ def fit(model, cfg: TrainConfig, data_iter: Iterator[dict], max_steps: int,
     first = next(data_iter)
     if state is None:
         state = create_train_state(model, first, cfg)
+        # Shard BEFORE restoring: orbax then restores straight into the
+        # NamedSharding-placed buffers (the post-preemption path of a real
+        # multi-chip job — no host-side staging of the full state).
+        if mesh is not None:
+            state = shard_state(state, mesh)
         if (resume and ckpt_dir
                 and (Path(ckpt_dir) / 'current').exists()):
             state = restore_checkpoint(ckpt_dir, state, 'current',
                                        restore_optimizer=True)
             print(f'resumed from {ckpt_dir}/current at step '
                   f'{int(state.step)}', flush=True)
-    if mesh is not None:
+    elif mesh is not None:
         state = shard_state(state, mesh)
     step_fn = make_train_step(model, cfg, mesh)
 

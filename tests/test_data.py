@@ -122,3 +122,55 @@ def test_batch_iterator(dataset_dir):
     assert batch['context']['rgb'].shape == (2, 2, 256, 256, 3)
     assert batch['query']['uv'].shape == (2, 1, 32, 2)
     assert batch['query']['mask'].shape == (2,)
+
+
+def test_batch_iterator_threaded(dataset_dir):
+    """Threaded prefetch (num_workers>0) yields the same batch structure,
+    keeps producing, and shuts down cleanly."""
+    img_root, pose_root = dataset_dir
+    ds = re_data.RealEstate10k(img_root, pose_root, num_ctxt_views=2,
+                               query_sparsity=32, augment=True, seed=5)
+    it = re_data.batch_iterator(ds, batch_size=2, to_device=False,
+                                num_workers=4, prefetch=2)
+    for _ in range(4):
+        batch = next(it)
+        assert batch['context']['rgb'].shape == (2, 2, 256, 256, 3)
+        assert np.isfinite(batch['context']['rgb']).all()
+        assert batch['query']['uv'].shape == (2, 1, 32, 2)
+    it.close()
+
+
+def test_native_path_feeds_augmented_training(dataset_dir):
+    """With the native loader available, the augment=True path consumes the
+    C++-decoded frames (rgb_pre) and still produces valid augmented scenes."""
+    img_root, pose_root = dataset_dir
+    from cross_attention_renderer_tpu.data import native_loader
+    if not native_loader.available():
+        pytest.skip('native loader unavailable (no compiler)')
+    ds = re_data.RealEstate10k(img_root, pose_root, num_ctxt_views=2,
+                               query_sparsity=64, augment=True, seed=3)
+    assert ds.store.use_native
+    item = ds[0]
+    rgb = item['context']['rgb']
+    assert rgb.shape == (2, 256, 256, 3)
+    assert np.abs(rgb).max() <= 1.0
+    assert np.isfinite(rgb).all()
+
+
+def test_augment_on_prenormalized_floats_matches_uint8():
+    """augment() on [-1,1] float frames (native path) equals augmenting the
+    uint8 frame then normalizing, for the same RNG draw."""
+    rng_img = np.random.default_rng(0)
+    u8 = rng_img.integers(0, 255, (256, 256, 3), dtype=np.uint8)
+    intr = np.diag([250.0, 250.0, 1.0, 1.0])
+    intr[0, 2] = intr[1, 2] = 128.0
+    c2w = np.eye(4)
+    f = u8.astype(np.float32) / 127.5 - 1.0
+    a_f, intr_f, c2w_f = re_data.augment(np.random.default_rng(9), f,
+                                         intr, c2w)
+    a_u, intr_u, c2w_u = re_data.augment(np.random.default_rng(9), u8,
+                                         intr, c2w)
+    a_u = a_u.astype(np.float32) / 127.5 - 1.0
+    np.testing.assert_allclose(a_f, a_u, atol=2.0 / 127.5)
+    np.testing.assert_allclose(intr_f, intr_u)
+    np.testing.assert_allclose(c2w_f, c2w_u)

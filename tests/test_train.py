@@ -126,3 +126,51 @@ def test_remat_grads_match():
     g2 = jax.grad(lambda p: loss(remat, p))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sharded_resume_continues_trajectory(tmp_path):
+    """Resume-at-scale (VERDICT r1 #6): save mid-run from a DP(4)xTP(2)
+    sharded state, restore onto NamedSharding targets (no host staging),
+    continue, and match the uninterrupted run's loss trajectory.
+
+    The stream repeats one scene: ``fit`` does not fast-forward a fresh data
+    iterator on resume (matching the reference, whose DataLoader also
+    restarts after preemption), so trajectory equality is only defined for
+    constant data."""
+    from cross_attention_renderer_tpu.train import fit
+
+    mesh = make_mesh(data=4, model=2)
+    model = CrossAttentionRenderer(n_view=2, npoints=8, **TINY)
+    cfg = TrainConfig(lr=1e-3, steps_til_summary=10**6,
+                      iters_til_checkpoint=10**6)
+
+    def stream():
+        scene = make_scene(0, batch=4, n_view=2, H=64, W=64, n_rays=16)
+        return itertools.repeat(scene)
+
+    ckpt = tmp_path / 'ckpt'
+    # uninterrupted 4-step run
+    ref_losses = []
+    fit(model, cfg, stream(), max_steps=4, mesh=mesh,
+        log_fn=lambda i, m: ref_losses.append(float(m['total_loss'])))
+
+    # interrupted: 2 steps, checkpoint, "preemption", resume 2 more
+    losses_a = []
+    state = fit(model, cfg, stream(), max_steps=2, mesh=mesh,
+                log_fn=lambda i, m: losses_a.append(float(m['total_loss'])))
+    save_checkpoint(ckpt, state, 'current')
+    del state
+
+    losses_b = []
+    state2 = fit(model, cfg, stream(), max_steps=4, mesh=mesh,
+                 ckpt_dir=str(ckpt), resume=True,
+                 log_fn=lambda i, m: losses_b.append(float(m['total_loss'])))
+    # restore happened onto sharded buffers
+    p = state2.params['params']['encoder']['vit']['block0']['attn'][
+        'query']['kernel']
+    assert 'model' in str(p.sharding.spec), p.sharding.spec
+    assert int(state2.step) == 4
+
+    np.testing.assert_allclose(losses_a + losses_b, ref_losses,
+                               rtol=2e-4, atol=2e-5)
