@@ -51,8 +51,38 @@ QUERY_FEAT_DIM = 16       # cam_rays 3 + cam_origin 3 + ray_dir 3 + depth 4
                           # + query origin 3 (models.py:528)
 
 
-def _mlp2(x: Array, layer1: nn.Dense, layer2: nn.Dense) -> Array:
+def _mlp2(x: Array, layer1, layer2) -> Array:
     return layer2(nn.relu(layer1(x)))
+
+
+class SplitDense(nn.Module):
+    """Dense layer that accepts its input pre-split into channel segments.
+
+    ``SplitDense(f)(a, b)`` computes exactly ``Dense(f)(concat([a, b]))``
+    by slicing the kernel — the (..., 576)-wide concatenation (which XLA
+    pads to lane tiles and materializes, ~7 ms at flagship sizes) never
+    exists. Parameter names, shapes, and initializers match ``nn.Dense``
+    bit-for-bit, so checkpoints and the torch converter are unaffected.
+    """
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, *parts: Array) -> Array:
+        d_in = sum(p.shape[-1] for p in parts)
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (d_in, self.features))
+        bias = self.param('bias', nn.initializers.zeros_init(),
+                          (self.features,))
+        k = kernel.astype(self.dtype)
+        out = None
+        off = 0
+        for p in parts:
+            w = jax.lax.slice_in_dim(k, off, off + p.shape[-1], axis=0)
+            off += p.shape[-1]
+            t = jnp.matmul(p.astype(self.dtype), w)
+            out = t if out is None else out + t
+        return out + bias.astype(self.dtype)
 
 
 class CrossAttentionRenderer(nn.Module):
@@ -76,6 +106,11 @@ class CrossAttentionRenderer(nn.Module):
     # Use the fused Pallas joint-softmax attention kernel (TPU); the jnp
     # reference path is algebraically identical and used for gradients.
     fused_attention: bool = False
+    # Run both pyramid gathers on a row-sorted sample stream (Pallas windowed
+    # gather, ops/sorted_gather.py) instead of XLA row-take. None = auto:
+    # enabled on TPU for eval-scale ray counts on the multi-view latent-
+    # concat path. Numerically equivalent (same bilinear sum, bf16 tables).
+    sorted_stream: Optional[bool] = None
     # Encoder size knobs (reference config = defaults). Smaller settings keep
     # the architecture identical for fast CPU tests.
     fusion_features: int = 256
@@ -128,14 +163,14 @@ class CrossAttentionRenderer(nn.Module):
 
         ld = self.latent_dim
         if self.n_view > 1 and not self.no_latent_concat:
-            self.query_encode_latent = nn.Dense(self.base_latent_dim,
-                                                dtype=self.dtype)
+            self.query_encode_latent = SplitDense(self.base_latent_dim,
+                                                  dtype=self.dtype)
             self.query_encode_latent_2 = nn.Dense(ld, dtype=self.dtype)
         elif not self.no_latent_concat:
             self.update_val_merge = nn.Dense(ld, dtype=self.dtype)
 
-        self.latent_value = nn.Dense(ld, dtype=self.dtype)
-        self.key_map = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
+        self.latent_value = SplitDense(ld, dtype=self.dtype)
+        self.key_map = SplitDense(HIDDEN_DIM, dtype=self.dtype)
         self.key_map_2 = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
         self.query_embed = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
         self.query_embed_2 = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
@@ -225,12 +260,6 @@ class CrossAttentionRenderer(nn.Module):
                          + (end - start)[..., None, :]
                          * interval[:, None])              # (B*V, R, P, 2)
 
-        # Gather the feature pyramid along the segments (models.py:278).
-        with jax.named_scope('epipolar_gather'):
-            interp_val = grid_sample_pyramid(
-                z, pixel_val.reshape(B * V, R * P, 2), 'border')
-        interp_val = interp_val.reshape(B, V, R, P, -1)
-
         # 3D point on the query ray per epipolar sample (context frame),
         # shared by the latent exchange and the depth head (models.py:283,503).
         eye = jnp.broadcast_to(jnp.eye(4, dtype=lf_coords.dtype),
@@ -240,23 +269,70 @@ class CrossAttentionRenderer(nn.Module):
                 lf_coords, pixel_val, eye, H, W, ctx_intr)  # (B*V, R, P, 3)
         pt_views = pt.reshape(B, V, R, P, 3)
 
-        if self.n_view > 1 and not self.no_latent_concat:
+        multiview = self.n_view > 1 and not self.no_latent_concat
+        use_sorted = multiview and self._use_sorted_stream(B, V, R, P)
+
+        if use_sorted and V == 2:
+            # Fully-sorted fast path: one sort serves both pyramid gathers,
+            # the exchange, and the attention input projections; a single
+            # un-permute restores ray order (see _sorted_exchange_v2).
+            with jax.named_scope('sorted_exchange_v2'):
+                joint_latent, key_val = self._sorted_exchange_v2(
+                    z, pixel_val, pt_views, ctx_c2w, ctx['intrinsics'],
+                    H, W)
+        elif multiview and V == 2 and not use_sorted:
+            # Standard V=2 path with split-weight projections: the per-view
+            # [self, cross] / [cross, self] channel concatenations
+            # (models.py:335,342) are never materialized — SplitDense slices
+            # the latent_value / key_map kernels instead.
+            with jax.named_scope('epipolar_gather'):
+                interp_val = grid_sample_pyramid(
+                    z, pixel_val.reshape(B * V, R * P, 2), 'border')
+            interp_val = interp_val.reshape(B, V, R, P, -1)
             with jax.named_scope('latent_exchange'):
-                interp_val = self._latent_exchange(
+                fs, fc = self._latent_exchange_parts(
                     z, interp_val, pt_views, ctx_c2w, ctx['intrinsics'],
                     H, W)
-        elif self.no_latent_concat:
-            pass
+            joint_latent = jnp.stack(
+                [self.latent_value(fs[:, 0], fc[:, 0]),
+                 self.latent_value(fc[:, 1], fs[:, 1])], axis=1)
+            h = jnp.stack(
+                [nn.relu(self.key_map(fs[:, 0], fc[:, 0])),
+                 nn.relu(self.key_map(fc[:, 1], fs[:, 1]))], axis=1)
+            key_val = self.key_map_2(h)
         else:
-            # Single view: append tanh-encoded 3D point (models.py:479-485).
-            pt1 = pt_views[:, :, :, :, :]
-            pt_feat = jnp.concatenate(
-                [jnp.tanh(pt1 / 5.0), jnp.tanh(pt1 / 100.0)], axis=-1)
-            interp_val = self.update_val_merge(
-                jnp.concatenate([interp_val, pt_feat], axis=-1))
+            if use_sorted:
+                # V>=3: per-stream sorts; exchange assembled in ray order.
+                with jax.named_scope('sorted_gather_exchange'):
+                    interp_val = self._latent_exchange_sorted(
+                        z, pixel_val, pt_views, ctx_c2w, ctx['intrinsics'],
+                        H, W)
+            else:
+                # Gather the feature pyramid along the segments
+                # (models.py:278).
+                with jax.named_scope('epipolar_gather'):
+                    interp_val = grid_sample_pyramid(
+                        z, pixel_val.reshape(B * V, R * P, 2), 'border')
+                interp_val = interp_val.reshape(B, V, R, P, -1)
 
-        joint_latent = self.latent_value(interp_val)       # (B,V,R,P,ld)
-        key_val = _mlp2(interp_val, self.key_map, self.key_map_2)
+            if multiview and not use_sorted:
+                with jax.named_scope('latent_exchange'):
+                    interp_val = self._latent_exchange(
+                        z, interp_val, pt_views, ctx_c2w, ctx['intrinsics'],
+                        H, W)
+            elif multiview or self.no_latent_concat:
+                pass
+            else:
+                # Single view: append tanh-encoded 3D point
+                # (models.py:479-485).
+                pt1 = pt_views[:, :, :, :, :]
+                pt_feat = jnp.concatenate(
+                    [jnp.tanh(pt1 / 5.0), jnp.tanh(pt1 / 100.0)], axis=-1)
+                interp_val = self.update_val_merge(
+                    jnp.concatenate([interp_val, pt_feat], axis=-1))
+
+            joint_latent = self.latent_value(interp_val)   # (B,V,R,P,ld)
+            key_val = _mlp2(interp_val, self.key_map, self.key_map_2)
 
         # Per-sample query features (models.py:494-528).
         cam_rays = G.ray_directions_cam(
@@ -351,6 +427,222 @@ class CrossAttentionRenderer(nn.Module):
               else epipolar_attention_reference)
         return fn(query_embed, key_embed, values)
 
+    def _use_sorted_stream(self, B: int, V: int, R: int, P: int) -> bool:
+        """Static (trace-time) choice of the gather strategy."""
+        if self.sorted_stream is not None:
+            return self.sorted_stream
+        if self.no_sample:
+            return False
+        on_tpu = jax.default_backend() in ('tpu', 'axon')
+        return on_tpu and B * V * R * P >= (1 << 18)
+
+    def _fuse_latent(self, feats: Array, points: Array,
+                     detach: bool) -> Array:
+        """Shared 2-layer exchange encoder (models.py:335-346).
+
+        The (feats ++ tanh(pt/5)) concat feeds a SplitDense, so the 579-
+        channel concatenation is never materialized."""
+        if detach:
+            points = jax.lax.stop_gradient(points)
+        h = nn.relu(self.query_encode_latent(
+            feats, jnp.tanh(points / 5.0).astype(feats.dtype)))
+        return self.query_encode_latent_2(h)
+
+    def _latent_exchange_parts(self, z: tuple, interp_val: Array,
+                               pt_views: Array, ctx_c2w: Array,
+                               ctx_intr: Array, H: int,
+                               W: int) -> tuple[Array, Array]:
+        """V=2 exchange, pre-concat: returns (fuse_self, fuse_cross), each
+        (B, V, R, P, ld). Same math as :meth:`_latent_exchange`; the caller
+        assembles [self, cross] / [cross, self] via kernel slicing."""
+        B, V, R, P, C = interp_val.shape
+        pt_in = self._exchange_points(pt_views, ctx_c2w)   # (B,K,V,R,P,3)
+        pt_cross = jnp.stack([pt_in[:, k, 1 - k] for k in range(2)],
+                             axis=1)                       # (B,K,R,P,3)
+        proj = G.project_pinhole(
+            pt_cross.reshape(B, V, R * P, 3), ctx_intr)
+        pix = G.pixel_to_ndc(proj[..., :2], H, W)
+        gathered = grid_sample_pyramid(
+            z, pix.reshape(B * V, R * P, 2), 'zeros').reshape(B, V, R, P, C)
+        fs = jnp.stack(
+            [self._fuse_latent(interp_val[:, v], pt_in[:, v, v], True)
+             for v in range(2)], axis=1)
+        fc = jnp.stack(
+            [self._fuse_latent(gathered[:, 1 - v], pt_in[:, 1 - v, v],
+                               False) for v in range(2)], axis=1)
+        return fs, fc
+
+    def _exchange_points(self, pt_views: Array, ctx_c2w: Array) -> Array:
+        """pt_in[k, v]: view-v samples expressed in every frame k."""
+        inv = jnp.linalg.inv(ctx_c2w)
+        rel = jnp.einsum('bkij,bvjl->bkvil', inv, ctx_c2w,
+                         precision=jax.lax.Precision.HIGHEST)  # (B,K,V,4,4)
+        pt_in = G.transform_points(
+            pt_views[:, None], rel[:, :, :, None, None])   # (B,K,V,R,P,3)
+        return jnp.where(jnp.isfinite(pt_in), pt_in, 0.0)
+
+    def _exchange_concat(self, self_nat: Array, cross_fn, V: int,
+                         swap: bool) -> Array:
+        """Per-view channel assembly shared by both exchange paths.
+
+        Channel order mirrors the reference: ascending view index at V=2
+        (models.py:335,342), self-first at V>=3 (models.py:446,459,473);
+        under ``swap`` (reference compat) V>=3 interleaves (channel, slot)
+        like cat(dim=2).flatten(1,2) (models.py:443-446).
+        """
+        per_view = []
+        for v in range(V):
+            self_part = self_nat[:, v]
+            cross_parts = [cross_fn(k, v) for k in range(V) if k != v]
+            if V == 2:
+                parts = ([self_part, cross_parts[0]] if v == 0
+                         else [cross_parts[0], self_part])
+            else:
+                parts = [self_part] + cross_parts
+            if swap:
+                iv = jnp.stack(parts, axis=-1)
+                per_view.append(iv.reshape(iv.shape[:-2] + (-1,)))
+            else:
+                per_view.append(jnp.concatenate(parts, axis=-1))
+        return jnp.stack(per_view, axis=1)                 # (B,V,R,P,ld*V)
+
+    def _sorted_exchange_v2(self, z: tuple, pixel_val: Array,
+                            pt_views: Array, ctx_c2w: Array,
+                            ctx_intr: Array, H: int,
+                            W: int) -> tuple[Array, Array]:
+        """Single-sort exchange + attention-input projections for V == 2.
+
+        Same math as grid_sample_pyramid + :meth:`_latent_exchange` +
+        ``latent_value``/``key_map`` (models.py:278-346,491,529), permuted:
+
+          * ONE argsort (by self-sample image row) orders the stream; the
+            cross gather reuses that order with ``image_id ^ 1`` — element
+            (v, r, p)'s cross pair reads the OTHER view's map at the
+            projection of the same 3D point, which lies on the matching
+            epipolar line, so window coherence survives.
+          * all narrow per-sample payloads (cross ndc, self/cross 3D
+            points) ride ONE packed (M, 8) permute instead of three.
+          * the fuse MLP, the per-view channel assembly (a branchless
+            select on the element's view id), and the ``latent_value`` /
+            ``key_map`` projections all run in sorted order; a single
+            (M, ld + 128) un-permute restores ray order.
+
+        Returns (joint_latent, key_val), each (B, V, R, P, ·).
+        """
+        from cross_attention_renderer_tpu.ops.sorted_gather import (
+            grid_sample_sorted, sort_stream, unsort)
+        B, V, R, P, _ = pt_views.shape
+        M = B * V * R * P
+        ld = self.latent_dim
+        key_hw = max(((f.shape[1], f.shape[2]) for f in z),
+                     key=lambda s: s[0] * s[1])
+        pt_in = self._exchange_points(pt_views, ctx_c2w)   # (B,K,V,R,P,3)
+
+        # Element (v, r, p): self pair = (view-v features at its epipolar
+        # sample, pt in frame v); cross pair = (frame-k features at the
+        # projection of that sample's 3D point into k, pt in frame k),
+        # k = other(v). Gradient stop on the self points (models.py:327-328).
+        pt_self = jnp.stack([pt_in[:, v, v] for v in range(V)], axis=1)
+        pt_cross = jnp.stack([pt_in[:, 1 - v, v] for v in range(V)], axis=1)
+        # Projection uses frame k's intrinsics: swap the view axis of intr.
+        intr_sw = ctx_intr[:, ::-1]
+        proj = G.project_pinhole(
+            pt_cross.reshape(B, V, R * P, 3), intr_sw)
+        pix = G.pixel_to_ndc(proj[..., :2], H, W)          # (B,V,R*P,2)
+
+        stream = sort_stream(pixel_val.reshape(B * V, R * P, 2), key_hw)
+        payload = jnp.concatenate(
+            [pix.reshape(M, 2), pt_self.reshape(M, 3),
+             pt_cross.reshape(M, 3)], axis=-1)
+        payload_s = jnp.take(payload, stream.perm, axis=0)
+        pix_s = payload_s[:, 0:2]
+        pt_self_s = payload_s[:, 2:5]
+        pt_cross_s = payload_s[:, 5:8]
+        cross_id = stream.image_id ^ 1                     # other view, V=2
+
+        with jax.named_scope('self_gather'):
+            feat_self = jnp.concatenate(
+                [grid_sample_sorted(fm, stream.coords, stream.image_id,
+                                    'border') for fm in z], axis=-1)
+        with jax.named_scope('cross_gather'):
+            feat_cross = jnp.concatenate(
+                [grid_sample_sorted(fm, pix_s, cross_id, 'zeros')
+                 for fm in z], axis=-1)
+
+        fuse_self = self._fuse_latent(feat_self, pt_self_s, detach=True)
+        fuse_cross = self._fuse_latent(feat_cross, pt_cross_s, detach=False)
+
+        # Channel order (models.py:335,342): view 0 -> [self, cross],
+        # view 1 -> [cross, self]; select per element on its view id.
+        a = jnp.concatenate([fuse_self, fuse_cross], axis=-1)
+        b = jnp.concatenate([fuse_cross, fuse_self], axis=-1)
+        interp_s = jnp.where((stream.image_id % 2 == 0)[:, None], a, b)
+
+        joint_latent_s = self.latent_value(interp_s)       # (M, ld)
+        key_val_s = _mlp2(interp_s, self.key_map, self.key_map_2)
+        both = unsort(jnp.concatenate([joint_latent_s, key_val_s], axis=-1),
+                      stream)
+        joint_latent = both[:, :ld].reshape(B, V, R, P, ld)
+        key_val = both[:, ld:].reshape(B, V, R, P, HIDDEN_DIM)
+        return joint_latent, key_val
+
+    def _latent_exchange_sorted(self, z: tuple, pixel_val: Array,
+                                pt_views: Array, ctx_c2w: Array,
+                                ctx_intr: Array, H: int, W: int) -> Array:
+        """Sorted-stream epipolar gather + cross-view exchange.
+
+        Same math as grid_sample_pyramid + :meth:`_latent_exchange`, but
+        both pyramid gathers run on row-sorted sample streams through the
+        Pallas windowed kernel (ops/sorted_gather.py): XLA's scattered
+        row-take reaches <10% of HBM bandwidth at these sizes, while a
+        4 ms argsort makes each 2048-sample block touch a tiny contiguous
+        table window. The fuse MLP runs in sorted order too, so only the
+        fused (M, ld) streams pay the un-permute."""
+        from cross_attention_renderer_tpu.ops.sorted_gather import (
+            grid_sample_pyramid_sorted, sort_stream, unsort)
+        B, V, R, P, _ = pt_views.shape
+        M = B * V * R * P
+        key_hw = max(((f.shape[1], f.shape[2]) for f in z),
+                     key=lambda s: s[0] * s[1])
+        pt_in = self._exchange_points(pt_views, ctx_c2w)
+        others = [[v for v in range(V) if v != k] for k in range(V)]
+        swap = self.reference_exchange_compat and V >= 3
+
+        with jax.named_scope('epipolar_stream'):
+            stream1 = sort_stream(pixel_val.reshape(B * V, R * P, 2),
+                                  key_hw)
+            feat_s = grid_sample_pyramid_sorted(z, stream1, 'border')
+            pt_self = jnp.stack([pt_in[:, v, v] for v in range(V)], axis=1)
+            pt_self_s = jnp.take(pt_self.reshape(M, 3), stream1.perm,
+                                 axis=0)
+            fuse_self = unsort(
+                self._fuse_latent(feat_s, pt_self_s, detach=V == 2),
+                stream1).reshape(B, V, R, P, -1)
+
+        with jax.named_scope('exchange_stream'):
+            if swap:
+                pt_cross = jnp.stack(
+                    [pt_in[:, others[k], k] for k in range(V)], axis=1)
+            else:
+                pt_cross = jnp.stack(
+                    [pt_in[:, k, others[k]] for k in range(V)], axis=1)
+            M2 = B * V * (V - 1) * R * P
+            proj = G.project_pinhole(
+                pt_cross.reshape(B, V, (V - 1) * R * P, 3), ctx_intr)
+            pix = G.pixel_to_ndc(proj[..., :2], H, W)
+            stream2 = sort_stream(
+                pix.reshape(B * V, (V - 1) * R * P, 2), key_hw)
+            featx_s = grid_sample_pyramid_sorted(z, stream2, 'zeros')
+            ptf_s = jnp.take(pt_cross.reshape(M2, 3), stream2.perm, axis=0)
+            fuse_cross = unsort(
+                self._fuse_latent(featx_s, ptf_s, detach=V >= 3),
+                stream2).reshape(B, V, V - 1, R, P, -1)
+
+        def cross_fn(k, v):
+            return fuse_cross[:, k, others[k].index(v)]
+
+        return self._exchange_concat(fuse_self, cross_fn, V, swap)
+
     def _latent_exchange(self, z: tuple, interp_val: Array, pt_views: Array,
                          ctx_c2w: Array, ctx_intr: Array,
                          H: int, W: int) -> Array:
@@ -365,15 +657,8 @@ class CrossAttentionRenderer(nn.Module):
         """
         B, V, R, P, C = interp_val.shape
 
-        # rel[j]: context-frame -> view-j-frame transforms, (B, V, 4, 4).
-        inv = jnp.linalg.inv(ctx_c2w)
-        rel = jnp.einsum('bkij,bvjl->bkvil', inv, ctx_c2w,
-                         precision=jax.lax.Precision.HIGHEST)  # (B,K,V,4,4)
-
         # pt_in[k, v] = samples of view v's geometry expressed in frame k.
-        pt_in = G.transform_points(
-            pt_views[:, None], rel[:, :, :, None, None])   # (B,K,V,R,P,3)
-        pt_in = jnp.where(jnp.isfinite(pt_in), pt_in, 0.0)
+        pt_in = self._exchange_points(pt_views, ctx_c2w)   # (B,K,V,R,P,3)
 
         # Project into frame k and gather view-k features there — only for
         # the cross pairs (k != v); the diagonal uses the epipolar gather
@@ -398,46 +683,20 @@ class CrossAttentionRenderer(nn.Module):
             z, pix.reshape(B * V, (V - 1) * R * P, 2), 'zeros')
         gathered_x = gathered_x.reshape(B, V, V - 1, R, P, C)
 
-        def gathered(k, v):
-            return gathered_x[:, k, others[k].index(v)]
-
-        # Gradient stops mirror the reference: at V=2 the self-pair points are
-        # detached (models.py:327-328); at V=3 the cross-pair points are
-        # (models.py:431-433).
-        def fuse(feats, points, detach):
-            points = jax.lax.stop_gradient(points) if detach else points
-            x = jnp.concatenate([feats, jnp.tanh(points / 5.0)], axis=-1)
-            return _mlp2(x, self.query_encode_latent,
-                         self.query_encode_latent_2)
-
         # For the rays of view v: self-features (the epipolar gather) fused
         # with pt in frame v; cross-features gathered[k, v] fused with
-        # pt_in[k, v] for k != v. Channel order mirrors the reference:
-        # ascending view index at V=2 (models.py:335,342), self-first at V=3
-        # (models.py:446,459,473). Note: the reference's 3-view gather coords
-        # contain an apparent subscript swap (models.py:384-393 project
-        # frame-k coordinates of view-v rays with view-k intrinsics, against
-        # the stated intent of the comment at models.py:384); we use the
-        # geometrically consistent coordinates everywhere, which matches the
-        # reference exactly for V=2 and fixes V=3.
-        per_view = []
-        for v in range(V):
-            self_part = fuse(interp_val[:, v], pt_in[:, v, v], V == 2)
-            cross_parts = [fuse(gathered(k, v),
-                                pt_in[:, v, k] if swap else pt_in[:, k, v],
-                                V >= 3)
-                           for k in range(V) if k != v]
-            if V == 2:
-                parts = ([self_part, cross_parts[0]] if v == 0
-                         else [cross_parts[0], self_part])
-            else:
-                parts = [self_part] + cross_parts
-            if swap:
-                # Reference V>=3 channel layout (models.py:443-446):
-                # cat(dim=2).flatten(1, 2) interleaves as (channel, slot)
-                # rather than the V=2 slot-major stack.
-                iv = jnp.stack(parts, axis=-1)
-                per_view.append(iv.reshape(iv.shape[:-2] + (-1,)))
-            else:
-                per_view.append(jnp.concatenate(parts, axis=-1))
-        return jnp.stack(per_view, axis=1)                 # (B,V,R,P,ld*V)
+        # pt_in[k, v] for k != v. Gradient stops mirror the reference: at
+        # V=2 the self-pair points are detached (models.py:327-328); at V=3
+        # the cross-pair points are (models.py:431-433). The non-swap mode
+        # deviates from the reference at V>=3 — see DEVIATIONS.md and the
+        # comment on ``reference_exchange_compat``.
+        self_nat = jnp.stack(
+            [self._fuse_latent(interp_val[:, v], pt_in[:, v, v], V == 2)
+             for v in range(V)], axis=1)
+
+        def cross_fn(k, v):
+            return self._fuse_latent(
+                gathered_x[:, k, others[k].index(v)],
+                pt_in[:, v, k] if swap else pt_in[:, k, v], V >= 3)
+
+        return self._exchange_concat(self_nat, cross_fn, V, swap)

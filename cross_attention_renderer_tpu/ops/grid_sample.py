@@ -56,8 +56,8 @@ def grid_sample(features: Array, coords_ndc: Array,
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = (x - x0).astype(features.dtype)[..., None]
-    wy = (y - y0).astype(features.dtype)[..., None]
+    wx = (x - x0).astype(features.dtype)
+    wy = (y - y0).astype(features.dtype)
 
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
@@ -66,25 +66,34 @@ def grid_sample(features: Array, coords_ndc: Array,
     def flat_idx(ix, iy):
         return base + jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
 
+    # Sample-major corner interleave: the 4 corners of one sample are
+    # adjacent rows of the take (locality), and the bilinear combine is one
+    # weighted reduce over a size-4 axis — no slices, no per-corner madd
+    # chain. mode='clip' skips XLA's out-of-bounds select epilogue on the
+    # (4N, C) gather output (indices are already clamped in flat_idx); for
+    # 'zeros' padding the OOB mask is folded into the (N, 4) WEIGHTS, never
+    # touching the wide gathered tensor.
     corners = jnp.stack([
         flat_idx(x0i, y0i), flat_idx(x0i + 1, y0i),
-        flat_idx(x0i, y0i + 1), flat_idx(x0i + 1, y0i + 1)], axis=0)
-    vals = jnp.take(features.reshape(B * H * W, C),
-                    corners.reshape(-1), axis=0)
-    v00, v01, v10, v11 = vals.reshape(4, B, N, C)
+        flat_idx(x0i, y0i + 1), flat_idx(x0i + 1, y0i + 1)],
+        axis=-1)                                           # (B, N, 4)
+    w4 = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
+                    (1 - wx) * wy, wx * wy], axis=-1)      # (B, N, 4)
 
     if padding_mode == 'zeros':
         def inb(ix, iy):
-            m = ((ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1))
-            return m[..., None].astype(features.dtype)
-        v00 = v00 * inb(x0i, y0i)
-        v01 = v01 * inb(x0i + 1, y0i)
-        v10 = v10 * inb(x0i, y0i + 1)
-        v11 = v11 * inb(x0i + 1, y0i + 1)
+            return ((ix >= 0) & (ix <= W - 1) & (iy >= 0)
+                    & (iy <= H - 1)).astype(w4.dtype)
+        mask = jnp.stack([inb(x0i, y0i), inb(x0i + 1, y0i),
+                          inb(x0i, y0i + 1), inb(x0i + 1, y0i + 1)],
+                         axis=-1)
+        w4 = w4 * mask
 
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
-    return top * (1 - wy) + bot * wy
+    # ONE flat axis-0 take — XLA lowers it far better than batched or
+    # multi-dim-index gathers (both measured slower on v5e).
+    vals = jnp.take(features.reshape(B * H * W, C),
+                    corners.reshape(-1), axis=0, mode='clip')
+    return (vals.reshape(B, N, 4, C) * w4[..., None]).sum(axis=2)
 
 
 def grid_sample_pyramid(pyramid: tuple[Array, ...], coords_ndc: Array,

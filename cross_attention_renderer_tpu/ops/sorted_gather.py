@@ -123,6 +123,106 @@ def _corners_flat(h: int, w: int, c_dtype, coords: Array, image_id: Array,
     return idx, w_
 
 
+def _resident_kernel(start_ref, idx_ref, w_ref, table_ref, out_ref, *,
+                     window: int):
+    """One grid step per sample block; the WHOLE table is VMEM-resident.
+
+    The block's (window, C) slice is cut with one dynamic slice, the 4
+    bilinear corners become a 4-sparse (S, window) selector built on the
+    VPU, and the gather is an MXU contraction. No banded sub-grid: the
+    previous kernel spent ~6 us of sequencing per (block, band) step with
+    only ~1.5 of 8 steps doing work.
+    """
+    i = pl.program_id(0)
+    base = start_ref[i]
+    # starts are host-aligned to 256 rows; Mosaic needs the static proof
+    win = table_ref[pl.ds(pl.multiple_of(base, 256), window), :]   # (W, C)
+    S = idx_ref.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (S, window), 1)
+    sel = jnp.zeros((S, window), jnp.bfloat16)
+    for c in range(4):
+        local = idx_ref[:, c][:, None] - base
+        sel = sel + jnp.where(iota == local, w_ref[:, c][:, None],
+                              0.0).astype(jnp.bfloat16)
+    out_ref[:] = jnp.dot(
+        sel, win, preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def resident_gather(fm_flat: Array, idx: Array, w: Array,
+                    sample_block: int = SAMPLE_BLOCK,
+                    window: int = 0,
+                    out_dtype=None) -> Array:
+    """(HW, C) bf16 table + (M, 4) folded corners/weights -> (M, C).
+
+    Fast when ``idx`` rows are sorted/coherent (each block's corners fit a
+    ``window``-position slice); exact for any input — out-of-window corners
+    are accumulated by a residual take pass inside ``lax.cond``.
+
+    ``window=0`` picks the measured-optimal width for the table size
+    (v5e sweep, tools/micro_resident_sweep.py): 512 positions for tables
+    up to 8k rows, 1024 above. ``out_dtype`` defaults to the table dtype —
+    writing bf16 straight from the kernel saves the downstream cast's HBM
+    round-trip.
+    """
+    HW, C = fm_flat.shape
+    M = idx.shape[0]
+    if out_dtype is None:
+        out_dtype = fm_flat.dtype
+    if not window:
+        window = 512 if HW <= (1 << 13) else 1024
+    Wd = min(window, HW)
+    # pad table so any clamped window start has a full slice
+    hw_pad = (-HW) % Wd
+    if hw_pad:
+        fm_flat = jnp.pad(fm_flat, ((0, hw_pad), (0, 0)))
+        HW += hw_pad
+    S = sample_block
+    pad = (-M) % S
+    if pad:
+        idx = jnp.pad(idx, ((0, pad), (0, 0)), mode='edge')
+        w = jnp.pad(w, ((0, pad), (0, 0)))
+    n_blocks = (M + pad) // S
+
+    blk = idx.reshape(n_blocks, S * 4)
+    lo = jnp.min(blk, axis=1)
+    # align starts down to 256 rows (sublane-friendly dynamic slices)
+    start = jnp.clip((lo // 256) * 256, 0, HW - Wd).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((S, 4), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, 4), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # whole table, constant index map -> DMA'd once, stays resident
+            pl.BlockSpec((HW, C), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S, C), lambda i, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_resident_kernel, window=Wd),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M + pad, C), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(start, idx, w.astype(jnp.float32), fm_flat.astype(jnp.bfloat16))
+    out = out[:M]
+
+    win_lo = jnp.repeat(start, S)[:M, None]
+    outside = (idx[:M] < win_lo) | (idx[:M] >= win_lo + Wd)
+    w_resid = jnp.where(outside, w[:M], 0.0)
+    has_resid = jnp.any(w_resid != 0)
+
+    def with_resid(o):
+        return o + _take_gather(fm_flat, idx[:M], w_resid).astype(o.dtype)
+
+    return jax.lax.cond(has_resid, with_resid, lambda o: o, out)
+
+
 def _windowed_kernel(start_ref, hits_ref, idx_ref, w_ref, band_ref,
                      out_ref):
     i = pl.program_id(0)
@@ -236,7 +336,7 @@ def _gs_forward(fm: Array, coords: Array, image_id: Array,
     idx, w = _corners_flat(H, W, jnp.float32, coords, image_id, padding_mode)
     fm_flat = fm.reshape(B * H * W, C)
     if _on_tpu():
-        out = windowed_gather(fm_flat, idx, w)
+        out = resident_gather(fm_flat, idx, w)
     else:
         out = _take_gather(fm_flat, idx, w)
     return out.astype(fm.dtype)
