@@ -67,7 +67,10 @@ def main():
 
     t0 = time.perf_counter()
     outs = [render(params, scene, z, b) for b in blocks]
-    checksum = float(sum(o.sum() for o in outs))
+    # ONE device-side checksum + ONE fetch: per-output float() fetches are
+    # ~40 ms tunnel round-trips each and would bill ~300 ms of host RTT to
+    # the device (measured: 42.9k vs 58.3k rays/s steady-state).
+    checksum = float(sum((o.sum() for o in outs), start=jnp.float32(0)))
     t1 = time.perf_counter()
     assert checksum == checksum  # NaN guard
 

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from cross_attention_renderer_tpu import geometry as G
 from cross_attention_renderer_tpu.encoders.dpt import DPTHybridEncoder
 from cross_attention_renderer_tpu.models.resnet_fc import ResnetFC
-from cross_attention_renderer_tpu.ops import grid_sample_pyramid
+from cross_attention_renderer_tpu.ops import (grid_sample_pyramid,
+                                              grid_sample_pyramid_parts)
 from cross_attention_renderer_tpu.utils.image import normalize_imagenet
 
 Array = Any
@@ -175,7 +176,7 @@ class CrossAttentionRenderer(nn.Module):
         self.query_embed = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
         self.query_embed_2 = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
         self.encode_latent = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
-        self.query_repeat_embed = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
+        self.query_repeat_embed = SplitDense(HIDDEN_DIM, dtype=self.dtype)
         self.query_repeat_embed_2 = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
         self.phi = ResnetFC(d_in=self.n_view * 9,
                             d_latent=ld * self.n_view,
@@ -281,10 +282,15 @@ class CrossAttentionRenderer(nn.Module):
                     z, pixel_val, pt_views, ctx_c2w, ctx['intrinsics'],
                     H, W)
         elif multiview and V == 2 and not use_sorted:
-            # Standard V=2 path with split-weight projections: the per-view
-            # [self, cross] / [cross, self] channel concatenations
-            # (models.py:335,342) are never materialized — SplitDense slices
-            # the latent_value / key_map kernels instead.
+            # Standard V=2 path with split-weight projections: neither the
+            # 576-ch pyramid concat nor the per-view [self, cross] /
+            # [cross, self] channel concatenations (models.py:335,342) are
+            # ever materialized — SplitDense slices the fuse / latent_value
+            # / key_map kernels instead.
+            # NOTE: keeping the pyramid levels as separate SplitDense
+            # segments here measured SLOWER (145 vs 141 ms/block): the
+            # extra per-part dot accumulations cost more than the concat
+            # copies they avoid. The concat stays.
             with jax.named_scope('epipolar_gather'):
                 interp_val = grid_sample_pyramid(
                     z, pixel_val.reshape(B * V, R * P, 2), 'border')
@@ -369,11 +375,9 @@ class CrossAttentionRenderer(nn.Module):
             z_embed_local = jnp.broadcast_to(
                 z_embed[:, :, :, None, :],
                 z_embed.shape[:3] + (P, HIDDEN_DIM))
-            query_embed_local = jnp.concatenate(
-                [z_embed_local, local_coords], axis=-1)
-            query_embed_local = _mlp2(query_embed_local,
-                                      self.query_repeat_embed,
-                                      self.query_repeat_embed_2)
+            query_embed_local = self.query_repeat_embed_2(nn.relu(
+                self.query_repeat_embed(
+                    z_embed_local, local_coords.astype(self.dtype))))
             z_sum2, _ = self._attend(query_embed_local, coords_embed,
                                      joint_latent)
             # (sum_v of z2 + V * z_sum) broadcast back — identical to the
@@ -428,24 +432,30 @@ class CrossAttentionRenderer(nn.Module):
         return fn(query_embed, key_embed, values)
 
     def _use_sorted_stream(self, B: int, V: int, R: int, P: int) -> bool:
-        """Static (trace-time) choice of the gather strategy."""
+        """Static (trace-time) choice of the gather strategy.
+
+        Auto mode currently resolves to False: with the tightened take
+        epilogue (ops/grid_sample.py) the standard path measures 179 ms per
+        8192-ray block vs 249 ms for the sorted path at flagship shapes —
+        the sort/unsort permutes cost more than the windowed kernels save
+        (BENCH_NOTES.md round 2). Explicit ``sorted_stream=True`` opts in.
+        """
         if self.sorted_stream is not None:
             return self.sorted_stream
-        if self.no_sample:
-            return False
-        on_tpu = jax.default_backend() in ('tpu', 'axon')
-        return on_tpu and B * V * R * P >= (1 << 18)
+        return False
 
-    def _fuse_latent(self, feats: Array, points: Array,
-                     detach: bool) -> Array:
+    def _fuse_latent(self, feats, points: Array, detach: bool) -> Array:
         """Shared 2-layer exchange encoder (models.py:335-346).
 
-        The (feats ++ tanh(pt/5)) concat feeds a SplitDense, so the 579-
-        channel concatenation is never materialized."""
+        ``feats`` may be a single array or a tuple of channel segments
+        (e.g. per-pyramid-level gathers); all segments plus tanh(pt/5)
+        feed one SplitDense, so neither the pyramid concat nor the
+        579-channel concatenation is ever materialized."""
         if detach:
             points = jax.lax.stop_gradient(points)
+        parts = feats if isinstance(feats, tuple) else (feats,)
         h = nn.relu(self.query_encode_latent(
-            feats, jnp.tanh(points / 5.0).astype(feats.dtype)))
+            *parts, jnp.tanh(points / 5.0).astype(parts[0].dtype)))
         return self.query_encode_latent_2(h)
 
     def _latent_exchange_parts(self, z: tuple, interp_val: Array,

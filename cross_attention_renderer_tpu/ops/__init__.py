@@ -7,6 +7,7 @@ for when each path wins.
 from cross_attention_renderer_tpu.ops.grid_sample import (
     grid_sample,
     grid_sample_pyramid,
+    grid_sample_pyramid_parts,
 )
 from cross_attention_renderer_tpu.ops.banded_gather import grid_sample_banded
 # NOTE: the fused-attention function shares its module's name; re-export it
@@ -24,4 +25,4 @@ from cross_attention_renderer_tpu.ops.pallas_gather import (
 __all__ = ['epipolar_attention', 'epipolar_attention_reference',
            'fused_epipolar_attention', 'grid_sample', 'grid_sample_auto',
            'grid_sample_banded', 'grid_sample_pallas',
-           'grid_sample_pyramid']
+           'grid_sample_pyramid', 'grid_sample_pyramid_parts']

@@ -66,34 +66,39 @@ def grid_sample(features: Array, coords_ndc: Array,
     def flat_idx(ix, iy):
         return base + jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
 
-    # Sample-major corner interleave: the 4 corners of one sample are
-    # adjacent rows of the take (locality), and the bilinear combine is one
-    # weighted reduce over a size-4 axis — no slices, no per-corner madd
-    # chain. mode='clip' skips XLA's out-of-bounds select epilogue on the
-    # (4N, C) gather output (indices are already clamped in flat_idx); for
-    # 'zeros' padding the OOB mask is folded into the (N, 4) WEIGHTS, never
+    # Corner-MAJOR stacking: the take output's four (B*N, C) corner groups
+    # are contiguous row ranges (B*N is a tile multiple), so the unpack
+    # below is a zero-copy view and the bilinear combine fuses into one
+    # elementwise pass — no (N, 4, C) reshape (a 7 ms layout copy at
+    # flagship sizes). mode='clip' skips XLA's out-of-bounds select
+    # epilogue (indices are already clamped in flat_idx); for 'zeros'
+    # padding the OOB mask is folded into the narrow WEIGHTS, never
     # touching the wide gathered tensor.
-    corners = jnp.stack([
-        flat_idx(x0i, y0i), flat_idx(x0i + 1, y0i),
-        flat_idx(x0i, y0i + 1), flat_idx(x0i + 1, y0i + 1)],
-        axis=-1)                                           # (B, N, 4)
-    w4 = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
-                    (1 - wx) * wy, wx * wy], axis=-1)      # (B, N, 4)
+    corner_idx = [flat_idx(x0i, y0i), flat_idx(x0i + 1, y0i),
+                  flat_idx(x0i, y0i + 1), flat_idx(x0i + 1, y0i + 1)]
+    weights = [(1 - wx) * (1 - wy), wx * (1 - wy),
+               (1 - wx) * wy, wx * wy]                     # each (B, N)
 
     if padding_mode == 'zeros':
         def inb(ix, iy):
             return ((ix >= 0) & (ix <= W - 1) & (iy >= 0)
-                    & (iy <= H - 1)).astype(w4.dtype)
-        mask = jnp.stack([inb(x0i, y0i), inb(x0i + 1, y0i),
-                          inb(x0i, y0i + 1), inb(x0i + 1, y0i + 1)],
-                         axis=-1)
-        w4 = w4 * mask
+                    & (iy <= H - 1)).astype(weights[0].dtype)
+        masks = [inb(x0i, y0i), inb(x0i + 1, y0i),
+                 inb(x0i, y0i + 1), inb(x0i + 1, y0i + 1)]
+        weights = [w * m for w, m in zip(weights, masks)]
 
     # ONE flat axis-0 take — XLA lowers it far better than batched or
     # multi-dim-index gathers (both measured slower on v5e).
     vals = jnp.take(features.reshape(B * H * W, C),
-                    corners.reshape(-1), axis=0, mode='clip')
-    return (vals.reshape(B, N, 4, C) * w4[..., None]).sum(axis=2)
+                    jnp.stack(corner_idx, axis=0).reshape(-1), axis=0,
+                    mode='clip')
+    M = B * N
+    out = None
+    for k, w in enumerate(weights):
+        term = (jax.lax.slice_in_dim(vals, k * M, (k + 1) * M, axis=0)
+                * w.reshape(M, 1))
+        out = term if out is None else out + term
+    return out.reshape(B, N, C)
 
 
 def grid_sample_pyramid(pyramid: tuple[Array, ...], coords_ndc: Array,
@@ -116,3 +121,16 @@ def grid_sample_pyramid(pyramid: tuple[Array, ...], coords_ndc: Array,
     return jnp.concatenate(
         [grid_sample_auto(fm, coords_ndc, padding_mode) for fm in pyramid],
         axis=-1)
+
+
+def grid_sample_pyramid_parts(pyramid: tuple[Array, ...], coords_ndc: Array,
+                              padding_mode: str = 'border'
+                              ) -> tuple[Array, ...]:
+    """Like :func:`grid_sample_pyramid` but WITHOUT the channel concat —
+    one (B, N, Ci) array per level, in pyramid order. Feeding the parts
+    straight into a SplitDense avoids materializing the (..., 576) concat
+    (a lane-tile-padded copy, ~8 ms at flagship sizes)."""
+    from cross_attention_renderer_tpu.ops.pallas_gather import (
+        grid_sample_auto)
+    return tuple(grid_sample_auto(fm, coords_ndc, padding_mode)
+                 for fm in pyramid)

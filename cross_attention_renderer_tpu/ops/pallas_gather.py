@@ -167,16 +167,18 @@ def grid_sample_auto(features: Array, coords_ndc: Array,
     on_tpu = jax.default_backend() in ('tpu', 'axon')
     B, H, W, C = features.shape
     small_table = B * H * W * C * 2 <= 4 * 1024 * 1024
-    if on_tpu and small_table and not os.environ.get('CAR_NO_PALLAS_GATHER'):
-        # Banded kernel wins on raster-coherent epipolar coords for small
-        # tables (64²x256 level: 48 vs 65 ms at 1M samples, BENCH_NOTES.md);
-        # bigger levels lose to band-DMA overhead and use the take path.
+    if on_tpu and small_table and os.environ.get('CAR_BANDED_GATHER'):
+        # Round-1 default for small tables; superseded by the tightened
+        # take path (clip-mode, weight-folded mask, free-view corner
+        # slices: ~16 vs ~17-18.5 ms/level at 1M samples, and bf16 output
+        # without a convert). Kept behind an env flag for comparison.
         from cross_attention_renderer_tpu.ops.banded_gather import (
             grid_sample_banded)
         return grid_sample_banded(features, coords_ndc, padding_mode)
     if on_tpu and os.environ.get('CAR_PALLAS_GATHER'):
         return grid_sample_pallas(features, coords_ndc, padding_mode)
-    # Measured on v5e: XLA's flat row-take reaches ~65 ms for 1M samples on
-    # a 64^2x256 level, while the flat one-hot matmul spends as long building
-    # the selector on the VPU as the MXU contraction it feeds (~86 ms).
+    # v5e: the flat row-take with the fused bilinear epilogue is the best
+    # unsorted formulation measured (one (4M) take ~13.4 ms + ~3 ms
+    # combine at 1M samples x 256ch); the flat one-hot matmul spends as
+    # long building the selector on the VPU as the MXU contraction.
     return grid_sample(features, coords_ndc, padding_mode)
