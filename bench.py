@@ -39,6 +39,9 @@ N_BLOCKS = (H * W) // RAY_BLOCK
 
 
 def main():
+    from cross_attention_renderer_tpu.train.evaluation import (
+        make_scan_renderer)
+
     scene = make_scene(0, batch=1, n_view=2, H=H, W=W, n_rays=H * W,
                        full_image=True)
     # bf16 compute (params stay f32): measured 1.4x over f32 on v5e with no
@@ -47,30 +50,20 @@ def main():
     params = jax.jit(model.init)(jax.random.PRNGKey(0), scene)
 
     encode = jax.jit(lambda p, s: model.apply(p, s, method='encode'))
-
-    def render_block(params, scene, z, uv):
-        s = dict(scene)
-        s['query'] = dict(scene['query'])
-        s['query']['uv'] = uv
-        return model.apply(params, s, z=z)['rgb']
-
-    render = jax.jit(render_block)
+    # chunk loop INSIDE the jit (lax.scan) — one dispatch per image; host
+    # dispatch through the tunnel costs ~20 ms per chunk otherwise
+    render_image = make_scan_renderer(model, N_BLOCKS)
 
     z = jax.block_until_ready(encode(params, scene))
     uv_full = scene['query']['uv']
-    blocks = [uv_full[:, :, i * RAY_BLOCK:(i + 1) * RAY_BLOCK]
-              for i in range(N_BLOCKS)]
 
     # warmup/compile; force full completion by fetching a value (the axon
     # tunnel has produced unreliable block_until_ready timings)
-    float(render(params, scene, z, blocks[0]).sum())
+    float(render_image(params, scene, z, uv_full)[0].sum())
 
     t0 = time.perf_counter()
-    outs = [render(params, scene, z, b) for b in blocks]
-    # ONE device-side checksum + ONE fetch: per-output float() fetches are
-    # ~40 ms tunnel round-trips each and would bill ~300 ms of host RTT to
-    # the device (measured: 42.9k vs 58.3k rays/s steady-state).
-    checksum = float(sum((o.sum() for o in outs), start=jnp.float32(0)))
+    rgb, _ = render_image(params, scene, z, uv_full)
+    checksum = float(rgb.sum())
     t1 = time.perf_counter()
     assert checksum == checksum  # NaN guard
 

@@ -61,6 +61,43 @@ def render_full_image(render_chunk, scene, z, uv_full: Array,
             jnp.concatenate(valids, axis=1))
 
 
+def make_scan_renderer(model, n_chunks: int) -> Callable:
+    """Whole-image renderer with the chunk loop INSIDE the jit as a
+    ``lax.scan`` — one device dispatch per image instead of one per chunk
+    (host dispatch through the TPU tunnel costs ~20 ms each; the Python
+    chunk loop spends ~0.7 s/frame on it at 8 chunks).
+
+    Returns jitted ``fn(params, scene, z, uv_full) -> (rgb, valid)`` with
+    ``uv_full`` of shape (B, Q, n_rays, 2), ``n_rays % n_chunks == 0``.
+    Peak memory matches the per-chunk path: scan frees each iteration's
+    temporaries. Ref: the Python chunk loops at eval_realestate10k.py:
+    144-149 and render_realestate10k_traj.py:118-137; SURVEY.md §7.1
+    prescribes exactly this scan.
+    """
+
+    @jax.jit
+    def render_image(p, scene, z, uv_full):
+        B, Q, n_rays, _ = uv_full.shape
+        size = n_rays // n_chunks
+        blocks = uv_full.reshape(B, Q, n_chunks, size, 2)
+        blocks = jnp.moveaxis(blocks, 2, 0)                # (NB, B, Q, S, 2)
+
+        def body(_, uv):
+            s = dict(scene)
+            s['query'] = dict(scene['query'])
+            s['query']['uv'] = uv
+            out = model.apply(p, s, z=z)
+            return None, (out['rgb'], out['valid_mask'])
+
+        _, (rgb, valid) = jax.lax.scan(body, None, blocks)
+        # (NB, B, Q, S, 3) -> (B, Q, n_rays, 3); valid (NB, B, S, 1)
+        rgb = jnp.moveaxis(rgb, 0, 2).reshape(B, Q, n_rays, 3)
+        valid = jnp.moveaxis(valid, 0, 1).reshape(B, n_rays, 1)
+        return rgb, valid
+
+    return render_image
+
+
 def make_sharded_renderer(model, params, mesh) -> Callable:
     """Ray-sharded full-image renderer: rays split over the mesh's 'rays'
     axis (sequence parallelism — rays are independent until image assembly,

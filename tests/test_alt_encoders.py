@@ -9,8 +9,10 @@ from cross_attention_renderer_tpu.data import make_scene
 from cross_attention_renderer_tpu.models import CrossAttentionRenderer
 
 
-@pytest.mark.parametrize('model_name,latent', [('unet', 960),
-                                               ('resnet', 512)])
+@pytest.mark.parametrize(
+    'model_name,latent', [pytest.param('unet', 960,
+                                       marks=pytest.mark.slow),
+                          ('resnet', 512)])
 def test_alt_encoder_forward(model_name, latent):
     scene = make_scene(0, batch=1, n_view=2, H=64, W=64, n_rays=16)
     model = CrossAttentionRenderer(n_view=2, npoints=8, model=model_name)

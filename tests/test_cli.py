@@ -37,6 +37,7 @@ def dataset(tmp_path_factory):
     return img_root, root / 'poses.mat'
 
 
+@pytest.mark.slow
 def test_train_cli_smoke(dataset, tmp_path, monkeypatch):
     # 64-pixel frames break the 256-crop assumptions of the real loader;
     # patch the constants for the smoke run.

@@ -4,6 +4,7 @@ live torch layers, plus head-mapping structural checks."""
 import sys
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -80,6 +81,7 @@ def test_fused_qkv_conversion():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_head_mapping_targets_exist():
     """Every HEAD_MAP target is a real parameter collection of the model."""
     from convert_checkpoint import HEAD_MAP

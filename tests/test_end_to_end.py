@@ -3,6 +3,7 @@ all with the tiny encoder on the CPU mesh."""
 
 import itertools
 
+import pytest
 import jax
 import numpy as np
 
@@ -21,6 +22,7 @@ def stream():
         yield make_scene(seed % 4, batch=1, n_view=2, H=64, W=64, n_rays=16)
 
 
+@pytest.mark.slow
 def test_fit_checkpoint_eval(tmp_path):
     model = CrossAttentionRenderer(n_view=2, npoints=8, **TINY)
     cfg = TrainConfig(lr=1e-4, steps_til_summary=4, iters_til_checkpoint=4)
@@ -54,6 +56,7 @@ def test_fit_checkpoint_eval(tmp_path):
     assert m['pred'].shape == (64, 64, 3)
 
 
+@pytest.mark.slow
 def test_depth_loss_active_with_patch_mask():
     """The depth term must contribute only for patch-sampled rays
     (mask=1, 32x32)."""

@@ -15,6 +15,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
@@ -44,6 +45,7 @@ def test_dryrun_multichip_driver_invocation():
     assert proc.returncode == 0, proc.stderr[-4000:]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('n', [2])
 def test_dryrun_multichip_small(n):
     import __graft_entry__

@@ -26,7 +26,8 @@ def build(n_view=2, **kw):
     return model, params, scene
 
 
-@pytest.mark.parametrize('n_view', [1, 2, 3])
+@pytest.mark.parametrize(
+    'n_view', [1, 2, pytest.param(3, marks=pytest.mark.slow)])
 def test_forward_shapes_finite(n_view):
     model, params, scene = build(n_view)
     out = model.apply(params, scene)
@@ -51,7 +52,8 @@ def test_z_cache_matches_fresh_encode():
                                   np.asarray(out_cached['rgb']))
 
 
-@pytest.mark.parametrize('n_view', [1, 2])
+@pytest.mark.parametrize(
+    'n_view', [pytest.param(1, marks=pytest.mark.slow), 2])
 def test_grad_finite(n_view):
     model, params, scene = build(n_view)
 

@@ -1,5 +1,6 @@
 """Ray-sharded rendering over the 'rays' mesh axis matches single-device."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,6 +15,7 @@ TINY = dict(fusion_features=32, vit_width=64, vit_depth=2, vit_heads=2,
             resnet_layers=(1, 1, 1))
 
 
+@pytest.mark.slow
 def test_ray_sharded_matches_single():
     mesh = make_mesh(data=1, model=1, rays=8)
     model = CrossAttentionRenderer(n_view=2, npoints=8, **TINY)
@@ -34,3 +36,30 @@ def test_ray_sharded_matches_single():
                                np.asarray(rgb_single), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(valid_sh),
                                   np.asarray(valid_single))
+
+
+def test_scan_renderer_matches_chunked():
+    """lax.scan whole-image renderer == Python chunk loop (tiny config)."""
+    from cross_attention_renderer_tpu.data import make_scene
+    from cross_attention_renderer_tpu.models import CrossAttentionRenderer
+    from cross_attention_renderer_tpu.train.evaluation import (
+        make_chunk_renderer, make_scan_renderer, render_full_image)
+    import jax, numpy as np
+
+    scene = make_scene(3, batch=1, n_view=2, H=32, W=32, n_rays=32 * 32,
+                       full_image=True)
+    model = CrossAttentionRenderer(n_view=2, npoints=8, fusion_features=32,
+                                   vit_width=64, vit_depth=2, vit_heads=2,
+                                   resnet_layers=(1, 1, 1))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), scene)
+    encode, render_chunk = make_chunk_renderer(model, params)
+    z = encode(scene)
+    uv = scene['query']['uv']
+    rgb_c, valid_c = render_full_image(render_chunk, scene, z, uv, 4)
+    render_image = make_scan_renderer(model, 4)
+    rgb_s, valid_s = render_image(params, scene, z, uv)
+    np.testing.assert_allclose(np.asarray(rgb_s), np.asarray(rgb_c),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(valid_s).reshape(-1),
+        np.asarray(valid_c).reshape(-1), atol=1e-6)

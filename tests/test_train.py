@@ -25,6 +25,7 @@ def scene_stream(batch, n_view=2, n_rays=16):
                          n_rays=n_rays)
 
 
+@pytest.mark.slow
 def test_single_device_loss_decreases():
     model = CrossAttentionRenderer(n_view=2, npoints=8, **TINY)
     cfg = TrainConfig(lr=1e-3)
@@ -43,6 +44,7 @@ def test_single_device_loss_decreases():
     assert losses[-1] < losses[3], losses
 
 
+@pytest.mark.slow
 def test_mesh_dp_tp_step():
     """Full DP(4) x TP(2) step on the virtual mesh."""
     mesh = make_mesh(data=4, model=2)
@@ -72,6 +74,7 @@ def test_mesh_dp_tp_step():
     assert int(state3.step) == 2
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device():
     """The mesh step must compute the same update as single-device."""
     model = CrossAttentionRenderer(n_view=2, npoints=8, **TINY)
@@ -93,6 +96,7 @@ def test_dp_matches_single_device():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     model = CrossAttentionRenderer(n_view=2, npoints=8, **TINY)
     cfg = TrainConfig()
@@ -111,6 +115,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 0
 
 
+@pytest.mark.slow
 def test_remat_grads_match():
     """Rematerialized ViT blocks must compute identical gradients."""
     scene = make_scene(0, batch=1, n_view=2, H=64, W=64, n_rays=16)

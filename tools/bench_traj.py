@@ -1,0 +1,58 @@
+"""Trajectory-render throughput: full 256² frames/sec with cached latent.
+
+Mirrors render_realestate10k_traj.py:84-185 — encoder latent computed once
+per scene, every frame rendered in 8192-ray chunks from a new query pose.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from cross_attention_renderer_tpu.data import make_scene
+from cross_attention_renderer_tpu.models import CrossAttentionRenderer
+
+H = W = 256
+RAY_BLOCK = 8192
+FRAMES = 4
+
+
+def main():
+    scene = make_scene(0, batch=1, n_view=2, H=H, W=W, n_rays=H * W,
+                       full_image=True)
+    model = CrossAttentionRenderer(n_view=2, dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), scene)
+    encode = jax.jit(lambda p, s: model.apply(p, s, method='encode'))
+    z = encode(params, scene)
+
+    from cross_attention_renderer_tpu.train.evaluation import (
+        make_scan_renderer)
+    render_image = make_scan_renderer(model, (H * W) // RAY_BLOCK)
+    uv_full = scene['query']['uv']
+    c2w0 = scene['query']['cam2world']
+
+    def frame(params, scene, z, c2w):
+        s = dict(scene)
+        s['query'] = dict(scene['query'])
+        s['query']['cam2world'] = c2w
+        return render_image(params, s, z, uv_full)[0]
+
+    float(frame(params, scene, z, c2w0).sum())  # compile
+
+    # Precompute the per-frame poses OUTSIDE the timed loop: an eager
+    # .at[].add dispatched mid-loop through the tunnel stalls the device
+    # pipeline (~+700 ms/frame measured).
+    poses = [jax.block_until_ready(c2w0.at[:, :, :3, 3].add(0.01 * f))
+             for f in range(FRAMES)]
+    t0 = time.perf_counter()
+    out = None
+    for c2w in poses:
+        out = frame(params, scene, z, c2w)
+    float(out.sum())
+    dt = (time.perf_counter() - t0) / FRAMES
+    print(f'trajectory: {dt * 1e3:.0f} ms/frame  {1 / dt:.2f} frames/s '
+          f'({H}x{W}, {RAY_BLOCK}-ray chunks, z cached)')
+
+
+if __name__ == '__main__':
+    main()
