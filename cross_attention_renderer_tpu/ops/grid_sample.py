@@ -58,45 +58,57 @@ def grid_sample(features: Array, coords_ndc: Array,
     y0 = jnp.floor(y)
     wx = (x - x0).astype(features.dtype)
     wy = (y - y0).astype(features.dtype)
-
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
+
+    # PACKED-CELL gather: the table is widened on the fly to
+    # T4[y, x] = [T[y,x] ‖ T[y,x+1] ‖ T[y+1,x] ‖ T[y+1,x+1]] (edge-
+    # clamped shifts, one fused elementwise build — ~0.2 ms at flagship
+    # sizes), so each sample fetches its whole 2x2 bilinear cell as ONE
+    # row. XLA's row-take costs ~1.5 ns/row + ~3.6e-3 ns/byte on v5e
+    # (BENCH_NOTES.md): 1M rows of 4C beat 4M rows of C by ~4.5 ms per
+    # 256-ch level. The combine is four FREE lane-slices (4C is a
+    # 128-multiple) fused into one weighted add.
+    #
+    # Exact border/zeros semantics via slot remapping: the cell origin is
+    # clamped to [0, H-2]x[0, W-2]; each true corner's weight lands in the
+    # slot its CLAMPED position occupies within that cell (at the image
+    # edge both x-corners clamp to the same column, so their weights sum —
+    # exactly torch's border behavior). For 'zeros', the out-of-bounds
+    # mask zeroes the true corner's weight first.
+    shift_x = jnp.concatenate([features[:, :, 1:], features[:, :, -1:]],
+                              axis=2)
+    shift_y = jnp.concatenate([features[:, 1:], features[:, -1:]], axis=1)
+    shift_xy = jnp.concatenate([shift_x[:, 1:], shift_x[:, -1:]], axis=1)
+    packed = jnp.concatenate([features, shift_x, shift_y, shift_xy],
+                             axis=-1)                      # (B, H, W, 4C)
+
+    x0c = jnp.clip(x0i, 0, W - 2)
+    y0c = jnp.clip(y0i, 0, H - 2)
     base = (jax.lax.broadcasted_iota(jnp.int32, (B, N), 0) * (H * W))
+    cell = base + y0c * W + x0c                            # (B, N)
 
-    def flat_idx(ix, iy):
-        return base + jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+    w_slot = [0.0, 0.0, 0.0, 0.0]
+    for dy, wy_c in ((0, 1 - wy), (1, wy)):
+        for dx, wx_c in ((0, 1 - wx), (1, wx)):
+            w_c = wx_c * wy_c
+            if padding_mode == 'zeros':
+                inb = ((x0i + dx >= 0) & (x0i + dx <= W - 1)
+                       & (y0i + dy >= 0) & (y0i + dy <= H - 1))
+                w_c = w_c * inb.astype(w_c.dtype)
+            sx = jnp.clip(x0i + dx, 0, W - 1) - x0c        # {0, 1}
+            sy = jnp.clip(y0i + dy, 0, H - 1) - y0c
+            for k in range(4):
+                hit = ((sy * 2 + sx) == k).astype(w_c.dtype)
+                w_slot[k] = w_slot[k] + w_c * hit
 
-    # Corner-MAJOR stacking: the take output's four (B*N, C) corner groups
-    # are contiguous row ranges (B*N is a tile multiple), so the unpack
-    # below is a zero-copy view and the bilinear combine fuses into one
-    # elementwise pass — no (N, 4, C) reshape (a 7 ms layout copy at
-    # flagship sizes). mode='clip' skips XLA's out-of-bounds select
-    # epilogue (indices are already clamped in flat_idx); for 'zeros'
-    # padding the OOB mask is folded into the narrow WEIGHTS, never
-    # touching the wide gathered tensor.
-    corner_idx = [flat_idx(x0i, y0i), flat_idx(x0i + 1, y0i),
-                  flat_idx(x0i, y0i + 1), flat_idx(x0i + 1, y0i + 1)]
-    weights = [(1 - wx) * (1 - wy), wx * (1 - wy),
-               (1 - wx) * wy, wx * wy]                     # each (B, N)
-
-    if padding_mode == 'zeros':
-        def inb(ix, iy):
-            return ((ix >= 0) & (ix <= W - 1) & (iy >= 0)
-                    & (iy <= H - 1)).astype(weights[0].dtype)
-        masks = [inb(x0i, y0i), inb(x0i + 1, y0i),
-                 inb(x0i, y0i + 1), inb(x0i + 1, y0i + 1)]
-        weights = [w * m for w, m in zip(weights, masks)]
-
-    # ONE flat axis-0 take — XLA lowers it far better than batched or
-    # multi-dim-index gathers (both measured slower on v5e).
-    vals = jnp.take(features.reshape(B * H * W, C),
-                    jnp.stack(corner_idx, axis=0).reshape(-1), axis=0,
-                    mode='clip')
+    vals = jnp.take(packed.reshape(B * H * W, 4 * C),
+                    cell.reshape(-1), axis=0, mode='clip') # (B*N, 4C)
     M = B * N
     out = None
-    for k, w in enumerate(weights):
-        term = (jax.lax.slice_in_dim(vals, k * M, (k + 1) * M, axis=0)
-                * w.reshape(M, 1))
+    for k in range(4):
+        term = (jax.lax.slice_in_dim(vals, k * C, (k + 1) * C, axis=1)
+                * w_slot[k].reshape(M, 1))
         out = term if out is None else out + term
     return out.reshape(B, N, C)
 
