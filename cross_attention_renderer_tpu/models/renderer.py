@@ -291,13 +291,16 @@ class CrossAttentionRenderer(nn.Module):
             # segments here measured SLOWER (145 vs 141 ms/block): the
             # extra per-part dot accumulations cost more than the concat
             # copies they avoid. The concat stays.
+            from cross_attention_renderer_tpu.ops import (
+                grid_sample_pyramid_packed, pack_pyramid)
+            zp = pack_pyramid(z)   # one cell-table build, both streams
             with jax.named_scope('epipolar_gather'):
-                interp_val = grid_sample_pyramid(
-                    z, pixel_val.reshape(B * V, R * P, 2), 'border')
+                interp_val = grid_sample_pyramid_packed(
+                    zp, pixel_val.reshape(B * V, R * P, 2), 'border')
             interp_val = interp_val.reshape(B, V, R, P, -1)
             with jax.named_scope('latent_exchange'):
                 fs, fc = self._latent_exchange_parts(
-                    z, interp_val, pt_views, ctx_c2w, ctx['intrinsics'],
+                    zp, interp_val, pt_views, ctx_c2w, ctx['intrinsics'],
                     H, W)
             joint_latent = jnp.stack(
                 [self.latent_value(fs[:, 0], fc[:, 0]),
@@ -458,13 +461,16 @@ class CrossAttentionRenderer(nn.Module):
             *parts, jnp.tanh(points / 5.0).astype(parts[0].dtype)))
         return self.query_encode_latent_2(h)
 
-    def _latent_exchange_parts(self, z: tuple, interp_val: Array,
+    def _latent_exchange_parts(self, zp: tuple, interp_val: Array,
                                pt_views: Array, ctx_c2w: Array,
                                ctx_intr: Array, H: int,
                                W: int) -> tuple[Array, Array]:
         """V=2 exchange, pre-concat: returns (fuse_self, fuse_cross), each
         (B, V, R, P, ld). Same math as :meth:`_latent_exchange`; the caller
-        assembles [self, cross] / [cross, self] via kernel slicing."""
+        assembles [self, cross] / [cross, self] via kernel slicing.
+        ``zp`` is the pre-packed pyramid (ops.pack_pyramid)."""
+        from cross_attention_renderer_tpu.ops import (
+            grid_sample_pyramid_packed)
         B, V, R, P, C = interp_val.shape
         pt_in = self._exchange_points(pt_views, ctx_c2w)   # (B,K,V,R,P,3)
         pt_cross = jnp.stack([pt_in[:, k, 1 - k] for k in range(2)],
@@ -472,8 +478,9 @@ class CrossAttentionRenderer(nn.Module):
         proj = G.project_pinhole(
             pt_cross.reshape(B, V, R * P, 3), ctx_intr)
         pix = G.pixel_to_ndc(proj[..., :2], H, W)
-        gathered = grid_sample_pyramid(
-            z, pix.reshape(B * V, R * P, 2), 'zeros').reshape(B, V, R, P, C)
+        gathered = grid_sample_pyramid_packed(
+            zp, pix.reshape(B * V, R * P, 2),
+            'zeros').reshape(B, V, R, P, C)
         fs = jnp.stack(
             [self._fuse_latent(interp_val[:, v], pt_in[:, v, v], True)
              for v in range(2)], axis=1)

@@ -6,8 +6,12 @@ for when each path wins.
 
 from cross_attention_renderer_tpu.ops.grid_sample import (
     grid_sample,
+    grid_sample_packed,
     grid_sample_pyramid,
+    grid_sample_pyramid_packed,
     grid_sample_pyramid_parts,
+    pack_cells,
+    pack_pyramid,
 )
 from cross_attention_renderer_tpu.ops.banded_gather import grid_sample_banded
 # NOTE: the fused-attention function shares its module's name; re-export it
@@ -24,5 +28,6 @@ from cross_attention_renderer_tpu.ops.pallas_gather import (
 
 __all__ = ['epipolar_attention', 'epipolar_attention_reference',
            'fused_epipolar_attention', 'grid_sample', 'grid_sample_auto',
-           'grid_sample_banded', 'grid_sample_pallas',
-           'grid_sample_pyramid', 'grid_sample_pyramid_parts']
+           'grid_sample_banded', 'grid_sample_packed', 'grid_sample_pallas',
+           'grid_sample_pyramid', 'grid_sample_pyramid_packed',
+           'grid_sample_pyramid_parts', 'pack_cells', 'pack_pyramid']

@@ -30,58 +30,50 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=('padding_mode',))
-def grid_sample(features: Array, coords_ndc: Array,
-                padding_mode: str = 'border') -> Array:
-    """Sample ``features`` bilinearly at ndc ``coords_ndc``.
+def pack_cells(features: Array) -> Array:
+    """(B, H, W, C) -> (B, H, W, 4C) cell table for the packed gather.
 
-    Args:
-      features: (B, H, W, C) feature maps.
-      coords_ndc: (B, N, 2) sample coordinates in [-1, 1], (x, y) order.
-      padding_mode: 'border' or 'zeros' (torch grid_sample semantics,
-        align_corners=False).
-
-    Returns:
-      (B, N, C) sampled features.
-
-    The four bilinear corners across the whole batch are fetched with ONE
-    flat row-take from a (B*H*W, C) matrix — XLA lowers a single large
-    axis-0 take far better than batched/vmapped gathers (measured ~10x on
-    v5e vs the vmap formulation).
+    ``packed[y, x] = [T[y,x] ‖ T[y,x+1] ‖ T[y+1,x] ‖ T[y+1,x+1]]`` with
+    edge-clamped shifts — one fused elementwise build (~0.2 ms at flagship
+    sizes). Build it ONCE per (scene, render call) and reuse across the
+    self/cross gather streams via :func:`grid_sample_packed`.
     """
-    B, H, W, C = features.shape
+    shift_x = jnp.concatenate([features[:, :, 1:], features[:, :, -1:]],
+                              axis=2)
+    shift_y = jnp.concatenate([features[:, 1:], features[:, -1:]], axis=1)
+    shift_xy = jnp.concatenate([shift_x[:, 1:], shift_x[:, -1:]], axis=1)
+    return jnp.concatenate([features, shift_x, shift_y, shift_xy], axis=-1)
+
+
+def grid_sample_packed(packed: Array, coords_ndc: Array,
+                       padding_mode: str = 'border') -> Array:
+    """Bilinear sample from a :func:`pack_cells` table.
+
+    PACKED-CELL gather: each sample fetches its whole 2x2 bilinear cell as
+    ONE row. XLA's row-take costs ~1.5 ns/row + ~3.6e-3 ns/byte on v5e
+    (BENCH_NOTES.md): 1M rows of 4C beat 4M rows of C by ~4.5 ms per
+    256-ch level. The combine is four FREE lane-slices (4C is a
+    128-multiple) fused into one weighted add.
+
+    Exact border/zeros semantics via slot remapping: the cell origin is
+    clamped to [0, H-2]x[0, W-2]; each true corner's weight lands in the
+    slot its CLAMPED position occupies within that cell (at the image edge
+    both x-corners clamp to the same column, so their weights sum —
+    exactly torch's border behavior). For 'zeros', the out-of-bounds mask
+    zeroes the true corner's weight first.
+    """
+    B, H, W, C4 = packed.shape
+    C = C4 // 4
     N = coords_ndc.shape[1]
     x = (coords_ndc[..., 0] + 1.0) * W * 0.5 - 0.5
     y = (coords_ndc[..., 1] + 1.0) * H * 0.5 - 0.5
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = (x - x0).astype(features.dtype)
-    wy = (y - y0).astype(features.dtype)
+    wx = (x - x0).astype(packed.dtype)
+    wy = (y - y0).astype(packed.dtype)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-
-    # PACKED-CELL gather: the table is widened on the fly to
-    # T4[y, x] = [T[y,x] ‖ T[y,x+1] ‖ T[y+1,x] ‖ T[y+1,x+1]] (edge-
-    # clamped shifts, one fused elementwise build — ~0.2 ms at flagship
-    # sizes), so each sample fetches its whole 2x2 bilinear cell as ONE
-    # row. XLA's row-take costs ~1.5 ns/row + ~3.6e-3 ns/byte on v5e
-    # (BENCH_NOTES.md): 1M rows of 4C beat 4M rows of C by ~4.5 ms per
-    # 256-ch level. The combine is four FREE lane-slices (4C is a
-    # 128-multiple) fused into one weighted add.
-    #
-    # Exact border/zeros semantics via slot remapping: the cell origin is
-    # clamped to [0, H-2]x[0, W-2]; each true corner's weight lands in the
-    # slot its CLAMPED position occupies within that cell (at the image
-    # edge both x-corners clamp to the same column, so their weights sum —
-    # exactly torch's border behavior). For 'zeros', the out-of-bounds
-    # mask zeroes the true corner's weight first.
-    shift_x = jnp.concatenate([features[:, :, 1:], features[:, :, -1:]],
-                              axis=2)
-    shift_y = jnp.concatenate([features[:, 1:], features[:, -1:]], axis=1)
-    shift_xy = jnp.concatenate([shift_x[:, 1:], shift_x[:, -1:]], axis=1)
-    packed = jnp.concatenate([features, shift_x, shift_y, shift_xy],
-                             axis=-1)                      # (B, H, W, 4C)
 
     x0c = jnp.clip(x0i, 0, W - 2)
     y0c = jnp.clip(y0i, 0, H - 2)
@@ -102,7 +94,7 @@ def grid_sample(features: Array, coords_ndc: Array,
                 hit = ((sy * 2 + sx) == k).astype(w_c.dtype)
                 w_slot[k] = w_slot[k] + w_c * hit
 
-    vals = jnp.take(packed.reshape(B * H * W, 4 * C),
+    vals = jnp.take(packed.reshape(B * H * W, C4),
                     cell.reshape(-1), axis=0, mode='clip') # (B*N, 4C)
     M = B * N
     out = None
@@ -111,6 +103,28 @@ def grid_sample(features: Array, coords_ndc: Array,
                 * w_slot[k].reshape(M, 1))
         out = term if out is None else out + term
     return out.reshape(B, N, C)
+
+
+@functools.partial(jax.jit, static_argnames=('padding_mode',))
+def grid_sample(features: Array, coords_ndc: Array,
+                padding_mode: str = 'border') -> Array:
+    """Sample ``features`` bilinearly at ndc ``coords_ndc``.
+
+    Args:
+      features: (B, H, W, C) feature maps.
+      coords_ndc: (B, N, 2) sample coordinates in [-1, 1], (x, y) order.
+      padding_mode: 'border' or 'zeros' (torch grid_sample semantics,
+        align_corners=False).
+
+    Returns:
+      (B, N, C) sampled features.
+
+    Convenience wrapper: packs the cell table and samples it. Hot callers
+    (the renderer) pack once per call and use :func:`grid_sample_packed`
+    directly so the build is shared across gather streams.
+    """
+    return grid_sample_packed(pack_cells(features), coords_ndc,
+                              padding_mode)
 
 
 def grid_sample_pyramid(pyramid: tuple[Array, ...], coords_ndc: Array,
@@ -133,6 +147,21 @@ def grid_sample_pyramid(pyramid: tuple[Array, ...], coords_ndc: Array,
     return jnp.concatenate(
         [grid_sample_auto(fm, coords_ndc, padding_mode) for fm in pyramid],
         axis=-1)
+
+
+def pack_pyramid(pyramid: tuple[Array, ...]) -> tuple[Array, ...]:
+    """:func:`pack_cells` for every level of a feature pyramid."""
+    return tuple(pack_cells(fm) for fm in pyramid)
+
+
+def grid_sample_pyramid_packed(packed_pyramid: tuple[Array, ...],
+                               coords_ndc: Array,
+                               padding_mode: str = 'border') -> Array:
+    """:func:`grid_sample_pyramid` over pre-packed levels (pack once per
+    render call, sample many streams)."""
+    return jnp.concatenate(
+        [grid_sample_packed(p, coords_ndc, padding_mode)
+         for p in packed_pyramid], axis=-1)
 
 
 def grid_sample_pyramid_parts(pyramid: tuple[Array, ...], coords_ndc: Array,
