@@ -18,7 +18,7 @@ from cross_attention_renderer_tpu.data.realestate import RealEstate10kVis
 from cross_attention_renderer_tpu.train import (
     TrainConfig, create_train_state, restore_checkpoint)
 from cross_attention_renderer_tpu.train.evaluation import (
-    evaluate_scene, make_chunk_renderer)
+    evaluate_scene, make_image_renderer)
 
 
 def main(argv=None):
@@ -53,7 +53,7 @@ def main(argv=None):
     except Exception as e:
         print(f'LPIPS disabled ({e})')
 
-    renderer = make_chunk_renderer(model, params)
+    renderer = make_image_renderer(model, params, opt.n_chunks)
     out_dir = Path(opt.logging_root) / opt.experiment_name
     out_dir.mkdir(parents=True, exist_ok=True)
 

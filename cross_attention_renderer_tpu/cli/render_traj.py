@@ -20,7 +20,7 @@ from cross_attention_renderer_tpu.data.realestate import trajectory_scene
 from cross_attention_renderer_tpu.train import (
     TrainConfig, create_train_state, restore_checkpoint)
 from cross_attention_renderer_tpu.train.evaluation import (
-    make_chunk_renderer, render_full_image)
+    make_image_renderer)
 from cross_attention_renderer_tpu.utils.metrics import eval_image_metrics
 
 
@@ -59,17 +59,16 @@ def main(argv=None):
         state = restore_checkpoint(opt.checkpoint_path, state)
     params = state.params
 
-    encode, render_chunk = make_chunk_renderer(model, params)
-    z = encode(scene0)
     n_chunks = max(1, (H * W) // opt.ray_chunk)
+    encode, render_image = make_image_renderer(model, params, n_chunks)
+    z = encode(scene0)
 
     writer = FrameWriter(opt.out, fps=10)
     psnrs, ssims = [], []
     for i in range(n_frames):
         scene = jax.tree.map(np.asarray, frame_scene(i))
         t0 = time.time()
-        rgb, valid = render_full_image(render_chunk, scene, z,
-                                       scene['query']['uv'], n_chunks)
+        rgb, valid = render_image(scene, z)
         pred01 = np.asarray((rgb.reshape(H, W, 3) + 1) * 0.5)
         target01 = np.asarray(
             (scene['query']['rgb'].reshape(H, W, 3) + 1) * 0.5)

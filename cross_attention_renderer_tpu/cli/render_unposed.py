@@ -37,7 +37,7 @@ def main(argv=None):
     from cross_attention_renderer_tpu.train import (
         TrainConfig, create_train_state, restore_checkpoint)
     from cross_attention_renderer_tpu.train.evaluation import (
-        make_chunk_renderer, render_full_image)
+        make_image_renderer)
 
     sp_params = dict(np.load(opt.superpoint_weights))
     sg_params = dict(np.load(opt.superglue_weights))
@@ -64,15 +64,14 @@ def main(argv=None):
     state = create_train_state(model, init_scene, TrainConfig())
     if opt.checkpoint_path:
         state = restore_checkpoint(opt.checkpoint_path, state)
-    encode, render_chunk = make_chunk_renderer(model, state.params)
-    z = encode(scene0)
     n_chunks = max(1, (H * W) // opt.ray_chunk)
+    encode, render_image = make_image_renderer(model, state.params, n_chunks)
+    z = encode(scene0)
 
     writer = FrameWriter(opt.out, fps=10)
     for i in range(n_frames):
         scene = jax.tree.map(np.asarray, frame_scene(i))
-        rgb, _ = render_full_image(render_chunk, scene, z,
-                                   scene['query']['uv'], n_chunks)
+        rgb, _ = render_image(scene, z)
         img = np.asarray((rgb.reshape(H, W, 3) + 1) * 0.5)
         writer.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
         print(f'frame {i + 1}/{n_frames}', flush=True)

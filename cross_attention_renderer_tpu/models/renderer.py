@@ -59,23 +59,28 @@ def _mlp2(x: Array, layer1, layer2) -> Array:
 class SplitDense(nn.Module):
     """Dense layer that accepts its input pre-split into channel segments.
 
-    ``SplitDense(f)(a, b)`` computes exactly ``Dense(f)(concat([a, b]))``
+    ``SplitDense(f, d)(a, b)`` computes exactly ``Dense(f)(concat([a,b]))``
     by slicing the kernel — the (..., 576)-wide concatenation (which XLA
     pads to lane tiles and materializes, ~7 ms at flagship sizes) never
     exists. Parameter names, shapes, and initializers match ``nn.Dense``
     bit-for-bit, so checkpoints and the torch converter are unaffected.
+    Setup-style so fused kernels (ops/fused_mlp.py) can read ``.kernel`` /
+    ``.bias`` directly.
     """
     features: int
+    d_in: int
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                                 (self.d_in, self.features))
+        self.bias = self.param('bias', nn.initializers.zeros_init(),
+                               (self.features,))
+
     def __call__(self, *parts: Array) -> Array:
-        d_in = sum(p.shape[-1] for p in parts)
-        kernel = self.param('kernel', nn.initializers.lecun_normal(),
-                            (d_in, self.features))
-        bias = self.param('bias', nn.initializers.zeros_init(),
-                          (self.features,))
-        k = kernel.astype(self.dtype)
+        assert sum(p.shape[-1] for p in parts) == self.d_in, (
+            [p.shape for p in parts], self.d_in)
+        k = self.kernel.astype(self.dtype)
         out = None
         off = 0
         for p in parts:
@@ -83,7 +88,7 @@ class SplitDense(nn.Module):
             off += p.shape[-1]
             t = jnp.matmul(p.astype(self.dtype), w)
             out = t if out is None else out + t
-        return out + bias.astype(self.dtype)
+        return out + self.bias.astype(self.dtype)
 
 
 class CrossAttentionRenderer(nn.Module):
@@ -163,20 +168,27 @@ class CrossAttentionRenderer(nn.Module):
             raise ValueError(f'unknown encoder model {self.model!r}')
 
         ld = self.latent_dim
-        if self.n_view > 1 and not self.no_latent_concat:
-            self.query_encode_latent = SplitDense(self.base_latent_dim,
-                                                  dtype=self.dtype)
-            self.query_encode_latent_2 = nn.Dense(ld, dtype=self.dtype)
+        multiview = self.n_view > 1 and not self.no_latent_concat
+        # channels of interp_val feeding latent_value / key_map
+        d_interp = ld * self.n_view if multiview else self.base_latent_dim
+        if multiview:
+            self.query_encode_latent = SplitDense(
+                self.base_latent_dim, d_in=self.base_latent_dim + 3,
+                dtype=self.dtype)
+            self.query_encode_latent_2 = SplitDense(
+                ld, d_in=self.base_latent_dim, dtype=self.dtype)
         elif not self.no_latent_concat:
             self.update_val_merge = nn.Dense(ld, dtype=self.dtype)
 
-        self.latent_value = SplitDense(ld, dtype=self.dtype)
-        self.key_map = SplitDense(HIDDEN_DIM, dtype=self.dtype)
+        self.latent_value = SplitDense(ld, d_in=d_interp, dtype=self.dtype)
+        self.key_map = SplitDense(HIDDEN_DIM, d_in=d_interp,
+                                  dtype=self.dtype)
         self.key_map_2 = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
         self.query_embed = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
         self.query_embed_2 = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
         self.encode_latent = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
-        self.query_repeat_embed = SplitDense(HIDDEN_DIM, dtype=self.dtype)
+        self.query_repeat_embed = SplitDense(
+            HIDDEN_DIM, d_in=HIDDEN_DIM + QUERY_FEAT_DIM, dtype=self.dtype)
         self.query_repeat_embed_2 = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
         self.phi = ResnetFC(d_in=self.n_view * 9,
                             d_latent=ld * self.n_view,
@@ -453,13 +465,34 @@ class CrossAttentionRenderer(nn.Module):
         ``feats`` may be a single array or a tuple of channel segments
         (e.g. per-pyramid-level gathers); all segments plus tanh(pt/5)
         feed one SplitDense, so neither the pyramid concat nor the
-        579-channel concatenation is ever materialized."""
+        579-channel concatenation is ever materialized. On TPU the whole
+        chain runs as one Pallas kernel (ops/fused_mlp.py) — the hidden
+        relu activation never touches HBM."""
         if detach:
             points = jax.lax.stop_gradient(points)
         parts = feats if isinstance(feats, tuple) else (feats,)
-        h = nn.relu(self.query_encode_latent(
-            *parts, jnp.tanh(points / 5.0).astype(parts[0].dtype)))
-        return self.query_encode_latent_2(h)
+        t = jnp.tanh(points / 5.0).astype(parts[0].dtype)
+        qel, qel2 = self.query_encode_latent, self.query_encode_latent_2
+        # The Pallas fused chain measured SLOWER than XLA's dot chain at
+        # flagship shapes (106 vs 99 ms/block) — per-grid-step sequencing
+        # eats the saved relu materialization. Env opt-in for re-testing.
+        import os
+        use_fused = (os.environ.get('CAR_FUSED_MLP')
+                     and jax.default_backend() in ('tpu', 'axon'))
+        if use_fused and len(parts) == 1 and not self.is_initializing():
+            from cross_attention_renderer_tpu.ops.fused_mlp import (
+                fused_mlp2)
+            x1 = parts[0]
+            lead = x1.shape[:-1]
+            c1 = x1.shape[-1]
+            out = fused_mlp2(
+                x1.reshape(-1, c1).astype(self.dtype),
+                t.reshape(-1, t.shape[-1]),
+                qel.kernel[:c1], qel.kernel[c1:], qel.bias,
+                qel2.kernel, qel2.bias)
+            return out.reshape(lead + (out.shape[-1],))
+        h = nn.relu(qel(*parts, t))
+        return qel2(h)
 
     def _latent_exchange_parts(self, zp: tuple, interp_val: Array,
                                pt_views: Array, ctx_c2w: Array,

@@ -98,6 +98,23 @@ def make_scan_renderer(model, n_chunks: int) -> Callable:
     return render_image
 
 
+def make_image_renderer(model, params, n_chunks: int
+                        ) -> tuple[Callable, Callable]:
+    """(encode, render_image) pair over the in-jit scan loop.
+
+    ``render_image(scene, z) -> (rgb, valid)`` renders the scene's full
+    query uv grid in one device dispatch (see :func:`make_scan_renderer`);
+    the CLI eval/trajectory loops use this instead of the Python chunk
+    loop (one dispatch per chunk costs ~20 ms host RTT each through the
+    TPU tunnel)."""
+    encode_jit = jax.jit(lambda p, s: model.apply(p, s, method='encode'))
+    scan = make_scan_renderer(model, n_chunks)
+    encode = lambda scene: encode_jit(params, scene)
+    render_image = lambda scene, z: scan(params, scene, z,
+                                         scene['query']['uv'])
+    return encode, render_image
+
+
 def make_sharded_renderer(model, params, mesh) -> Callable:
     """Ray-sharded full-image renderer: rays split over the mesh's 'rays'
     axis (sequence parallelism — rays are independent until image assembly,
@@ -130,13 +147,13 @@ def evaluate_scene(model, params, scene, H: int = 256, W: int = 256,
     """Full eval for one scene dict with full-image query uv.
 
     Returns numpy metrics + the rendered image, reference protocol
-    (eval_realestate10k.py:131-199)."""
+    (eval_realestate10k.py:131-199). ``renderer`` is an (encode,
+    render_image) pair from :func:`make_image_renderer`."""
     if renderer is None:
-        renderer = make_chunk_renderer(model, params)
-    encode, render_chunk = renderer
+        renderer = make_image_renderer(model, params, n_chunks)
+    encode, render_image = renderer
     z = encode(scene)
-    rgb, valid = render_full_image(render_chunk, scene, z,
-                                   scene['query']['uv'], n_chunks)
+    rgb, valid = render_image(scene, z)
     pred01 = (rgb.reshape(H, W, 3) + 1.0) * 0.5
     target01 = (scene['query']['rgb'].reshape(H, W, 3) + 1.0) * 0.5
     mask = valid.reshape(H, W, 1)
