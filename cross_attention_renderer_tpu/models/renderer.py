@@ -223,7 +223,8 @@ class CrossAttentionRenderer(nn.Module):
     # Renderer forward (reference forward, models.py:190-626)
     # ------------------------------------------------------------------
     def __call__(self, scene: dict,
-                 z: Optional[Sequence[Array]] = None) -> dict:
+                 z: Optional[Sequence[Array]] = None,
+                 z_packed: Optional[Sequence[Array]] = None) -> dict:
         ctx, qry = scene['context'], scene['query']
         B, V, H, W, _ = ctx['rgb'].shape
         R = qry['uv'].shape[2]
@@ -305,7 +306,10 @@ class CrossAttentionRenderer(nn.Module):
             # copies they avoid. The concat stays.
             from cross_attention_renderer_tpu.ops import (
                 grid_sample_pyramid_packed, pack_pyramid)
-            zp = pack_pyramid(z)   # one cell-table build, both streams
+            # one cell-table build serves both streams; callers rendering
+            # many blocks per scene (the scan renderer) pass z_packed so
+            # the build happens once per image instead of once per block
+            zp = tuple(z_packed) if z_packed is not None else pack_pyramid(z)
             with jax.named_scope('epipolar_gather'):
                 interp_val = grid_sample_pyramid_packed(
                     zp, pixel_val.reshape(B * V, R * P, 2), 'border')
