@@ -43,7 +43,7 @@ class FrameWriter:
     """mp4 writer with a PNG-sequence fallback (no ffmpeg in some envs)."""
 
     def __init__(self, out_path: str, fps: int = 10):
-        import imageio
+        import imageio.v2 as imageio
         self._imageio = imageio
         self.frames_dir = None
         self.writer = None

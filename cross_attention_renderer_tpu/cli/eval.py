@@ -67,7 +67,7 @@ def main(argv=None):
                            lpips_fn=lpips_fn, renderer=renderer)
         elapsed = time.time() - t0
         if opt.save_images:
-            import imageio
+            import imageio.v2 as imageio
             imageio.imwrite(out_dir / f'{i:04d}_pred.png',
                             (np.clip(m['pred'], 0, 1) * 255).astype(np.uint8))
         for k in ('mse', 'psnr', 'ssim', 'lpips'):

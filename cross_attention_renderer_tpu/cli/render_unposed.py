@@ -30,7 +30,7 @@ def main(argv=None):
                    help='translation scale (load_video_superglue.py:481)')
     opt = p.parse_args(argv)
 
-    import imageio
+    import imageio.v2 as imageio
     import jax
 
     from cross_attention_renderer_tpu.pose import unposed_scene

@@ -65,7 +65,7 @@ def load_jgz(path: str | Path):
 
 
 def _load_image_rgb(path) -> np.ndarray:
-    import imageio
+    import imageio.v2 as imageio
     img = np.asarray(imageio.imread(path), np.float32)
     if img.ndim == 2:
         img = img[..., None].repeat(3, -1)
@@ -73,7 +73,7 @@ def _load_image_rgb(path) -> np.ndarray:
 
 
 def _load_mask(path) -> np.ndarray:
-    import imageio
+    import imageio.v2 as imageio
     m = np.asarray(imageio.imread(path), np.float32)
     if m.ndim == 3:
         m = m[..., 0]

@@ -46,7 +46,7 @@ def extract_scene(video_path: str | Path, timestamps_us: list[int],
     """ffmpeg-extract the pose-timestamped frames and pack data.npz.
 
     Ref: ``process`` (generate_realestate.py:30-72)."""
-    import imageio
+    import imageio.v2 as imageio
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     npz_path = out_dir / 'data.npz'

@@ -276,6 +276,7 @@ class RealEstate10k:
         self.augment = augment
         self.lpips = lpips
         self.uv = full_uv_grid()
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self._rng_lock = threading.Lock()
 
@@ -322,10 +323,22 @@ class RealEstate10k:
         return id_feat, id_render
 
     def __getitem__(self, idx: int) -> dict:
+        return self._getitem_rng(idx, self._spawn_rng())
+
+    def getitem_seeded(self, idx: int, serial: int) -> dict:
+        """Deterministic variant used by :func:`batch_iterator`: the per-item
+        generator derives from (dataset seed, draw serial, index) instead of
+        shared mutable RNG state, so prefetch workers reproduce identical
+        augmentation / frame-selection randomness for a fixed seed no matter
+        which thread finishes first."""
+        rng = np.random.default_rng(
+            np.random.SeedSequence((self.seed, serial, idx)))
+        return self._getitem_rng(idx, rng)
+
+    def _getitem_rng(self, idx: int, rng: np.random.Generator) -> dict:
         # Defective scenes (missing npz/pose/frames, corrupt archives,
         # timestamps absent from the pose table) are skipped by resampling a
         # random index, mirroring realestate10k_dataio.py:259-278.
-        rng = self._spawn_rng()
         for _ in range(100):
             try:
                 return self._load_item(idx, rng)
@@ -478,12 +491,22 @@ def batch_iterator(dataset, batch_size: int, seed: int = 0,
     import jax.numpy as jnp
     rng = np.random.default_rng(seed)
     n = len(dataset)
+    seeded = getattr(dataset, 'getitem_seeded', None)
 
-    def index_stream() -> Iterator[int]:
+    def index_stream() -> Iterator[tuple]:
+        # (index, serial) pairs; the serial is handed out single-threaded so
+        # seeded datasets stay reproducible under multi-worker prefetch.
+        serial = 0
         while True:
             order = rng.permutation(n)
             for i in range(0, n - batch_size + 1, batch_size):
-                yield from (int(j) for j in order[i:i + batch_size])
+                for j in order[i:i + batch_size]:
+                    yield int(j), serial
+                    serial += 1
+
+    def fetch(job: tuple) -> dict:
+        idx, serial = job
+        return dataset[idx] if seeded is None else seeded(idx, serial)
 
     def assemble(items: list) -> dict:
         for it in items:
@@ -497,7 +520,7 @@ def batch_iterator(dataset, batch_size: int, seed: int = 0,
     idxs = index_stream()
     if num_workers <= 0:
         while True:
-            yield assemble([dataset[next(idxs)] for _ in range(batch_size)])
+            yield assemble([fetch(next(idxs)) for _ in range(batch_size)])
         return
 
     import queue
@@ -513,8 +536,7 @@ def batch_iterator(dataset, batch_size: int, seed: int = 0,
                 pending: deque = deque()
                 while not stop.is_set():
                     while len(pending) < batch_size * (prefetch + 1):
-                        pending.append(
-                            pool.submit(dataset.__getitem__, next(idxs)))
+                        pending.append(pool.submit(fetch, next(idxs)))
                     items = [pending.popleft().result()
                              for _ in range(batch_size)]
                     batch = assemble(items)
@@ -525,7 +547,15 @@ def batch_iterator(dataset, batch_size: int, seed: int = 0,
                         except queue.Full:
                             pass
         except BaseException as e:  # surface worker crashes to the consumer
-            out.put(e)
+            while not stop.is_set():
+                try:
+                    out.put(e, timeout=0.2)
+                    break
+                except queue.Full:
+                    try:  # drop a stale batch so the error can land
+                        out.get_nowait()
+                    except queue.Empty:
+                        pass
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()

@@ -40,8 +40,7 @@ import jax.numpy as jnp
 from cross_attention_renderer_tpu import geometry as G
 from cross_attention_renderer_tpu.encoders.dpt import DPTHybridEncoder
 from cross_attention_renderer_tpu.models.resnet_fc import ResnetFC
-from cross_attention_renderer_tpu.ops import (grid_sample_pyramid,
-                                              grid_sample_pyramid_parts)
+from cross_attention_renderer_tpu.ops import grid_sample_pyramid
 from cross_attention_renderer_tpu.utils.image import normalize_imagenet
 
 Array = Any
@@ -64,7 +63,7 @@ class SplitDense(nn.Module):
     pads to lane tiles and materializes, ~7 ms at flagship sizes) never
     exists. Parameter names, shapes, and initializers match ``nn.Dense``
     bit-for-bit, so checkpoints and the torch converter are unaffected.
-    Setup-style so fused kernels (ops/fused_mlp.py) can read ``.kernel`` /
+    Setup-style so fused kernels (ops/experimental/fused_mlp.py) can read ``.kernel`` /
     ``.bias`` directly.
     """
     features: int
@@ -183,7 +182,10 @@ class CrossAttentionRenderer(nn.Module):
         self.latent_value = SplitDense(ld, d_in=d_interp, dtype=self.dtype)
         self.key_map = SplitDense(HIDDEN_DIM, d_in=d_interp,
                                   dtype=self.dtype)
-        self.key_map_2 = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
+        # SplitDense with one segment == nn.Dense (same params); setup-style
+        # so the fused epilogue kernel can read .kernel/.bias.
+        self.key_map_2 = SplitDense(HIDDEN_DIM, d_in=HIDDEN_DIM,
+                                    dtype=self.dtype)
         self.query_embed = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
         self.query_embed_2 = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
         self.encode_latent = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
@@ -295,36 +297,46 @@ class CrossAttentionRenderer(nn.Module):
                     z, pixel_val, pt_views, ctx_c2w, ctx['intrinsics'],
                     H, W)
         elif multiview and V == 2 and not use_sorted:
-            # Standard V=2 path with split-weight projections: neither the
-            # 576-ch pyramid concat nor the per-view [self, cross] /
-            # [cross, self] channel concatenations (models.py:335,342) are
-            # ever materialized — SplitDense slices the fuse / latent_value
-            # / key_map kernels instead.
-            # NOTE: keeping the pyramid levels as separate SplitDense
-            # segments here measured SLOWER (145 vs 141 ms/block): the
-            # extra per-part dot accumulations cost more than the concat
-            # copies they avoid. The concat stays.
-            from cross_attention_renderer_tpu.ops import (
-                grid_sample_pyramid_packed, pack_pyramid)
+            from cross_attention_renderer_tpu.ops import pack_pyramid
             # one cell-table build serves both streams; callers rendering
             # many blocks per scene (the scan renderer) pass z_packed so
             # the build happens once per image instead of once per block
             zp = tuple(z_packed) if z_packed is not None else pack_pyramid(z)
-            with jax.named_scope('epipolar_gather'):
-                interp_val = grid_sample_pyramid_packed(
-                    zp, pixel_val.reshape(B * V, R * P, 2), 'border')
-            interp_val = interp_val.reshape(B, V, R, P, -1)
-            with jax.named_scope('latent_exchange'):
-                fs, fc = self._latent_exchange_parts(
-                    zp, interp_val, pt_views, ctx_c2w, ctx['intrinsics'],
-                    H, W)
-            joint_latent = jnp.stack(
-                [self.latent_value(fs[:, 0], fc[:, 0]),
-                 self.latent_value(fc[:, 1], fs[:, 1])], axis=1)
-            h = jnp.stack(
-                [nn.relu(self.key_map(fs[:, 0], fc[:, 0])),
-                 nn.relu(self.key_map(fc[:, 1], fs[:, 1]))], axis=1)
-            key_val = self.key_map_2(h)
+            if self._use_fused_epilogue():
+                # Production TPU path: raw packed-cell takes feed ONE Pallas
+                # kernel fusing combine + exchange MLPs + latent/key
+                # projections (ops/gather_epilogue.py).
+                with jax.named_scope('fused_exchange_v2'):
+                    joint_latent, key_val = self._fused_exchange_v2(
+                        zp, pixel_val, pt_views, ctx_c2w,
+                        ctx['intrinsics'], H, W)
+            else:
+                # Standard V=2 path with split-weight projections: neither
+                # the 576-ch pyramid concat nor the per-view [self, cross] /
+                # [cross, self] channel concatenations (models.py:335,342)
+                # are ever materialized — SplitDense slices the fuse /
+                # latent_value / key_map kernels instead.
+                # NOTE: keeping the pyramid levels as separate SplitDense
+                # segments here measured SLOWER (145 vs 141 ms/block): the
+                # extra per-part dot accumulations cost more than the
+                # concat copies they avoid. The concat stays.
+                from cross_attention_renderer_tpu.ops import (
+                    grid_sample_pyramid_packed)
+                with jax.named_scope('epipolar_gather'):
+                    interp_val = grid_sample_pyramid_packed(
+                        zp, pixel_val.reshape(B * V, R * P, 2), 'border')
+                interp_val = interp_val.reshape(B, V, R, P, -1)
+                with jax.named_scope('latent_exchange'):
+                    fs, fc = self._latent_exchange_parts(
+                        zp, interp_val, pt_views, ctx_c2w,
+                        ctx['intrinsics'], H, W)
+                joint_latent = jnp.stack(
+                    [self.latent_value(fs[:, 0], fc[:, 0]),
+                     self.latent_value(fc[:, 1], fs[:, 1])], axis=1)
+                h = jnp.stack(
+                    [nn.relu(self.key_map(fs[:, 0], fc[:, 0])),
+                     nn.relu(self.key_map(fc[:, 1], fs[:, 1]))], axis=1)
+                key_val = self.key_map_2(h)
         else:
             if use_sorted:
                 # V>=3: per-stream sorts; exchange assembled in ray order.
@@ -463,6 +475,92 @@ class CrossAttentionRenderer(nn.Module):
             return self.sorted_stream
         return False
 
+    def _use_fused_epilogue(self) -> bool:
+        """Static choice of the fused Pallas exchange epilogue (TPU only).
+
+        Default ON on TPU — it is the production hot path; the op itself
+        falls back to its jnp reference when block shapes don't divide.
+        ``CAR_FUSED_EPILOGUE=0`` forces the unfused SplitDense path."""
+        import os
+        if os.environ.get('CAR_FUSED_EPILOGUE', '1').lower() in ('0',
+                                                                 'false'):
+            return False
+        return (jax.default_backend() in ('tpu', 'axon')
+                and not self.is_initializing())
+
+    def _fused_exchange_v2(self, zp: tuple, pixel_val: Array,
+                           pt_views: Array, ctx_c2w: Array, ctx_intr: Array,
+                           H: int, W: int) -> tuple[Array, Array]:
+        """V=2 exchange through the fused gather epilogue.
+
+        Same math as the unfused branch (grid_sample_pyramid_packed +
+        :meth:`_latent_exchange_parts` + ``latent_value`` / ``key_map`` /
+        ``key_map_2``; reference models.py:278-346,491,529): XLA performs
+        only the address math and the row-takes; one Pallas kernel does the
+        bilinear combine, both fuse-MLP streams, the per-view channel
+        ordering, and the attention input projections without touching HBM
+        in between. Returns (joint_latent, key_val) as (B, V, R, P, ·).
+        """
+        from cross_attention_renderer_tpu.ops.gather_epilogue import (
+            fused_exchange_epilogue)
+        from cross_attention_renderer_tpu.ops.grid_sample import (
+            cell_rows_and_slot_weights)
+        B, V, R, P, _ = pt_views.shape
+        M = B * V * R * P
+        ld = self.latent_dim
+
+        pt_in = self._exchange_points(pt_views, ctx_c2w)   # (B,K,V,R,P,3)
+        pt_self = jnp.stack([pt_in[:, v, v] for v in range(2)], axis=1)
+        pt_cross = jnp.stack([pt_in[:, 1 - v, v] for v in range(2)], axis=1)
+        # Cross stream, indexed by the RAY's view v: project with frame
+        # (1-v)'s intrinsics and sample view (1-v)'s maps (equivalent to
+        # _latent_exchange_parts' k = 1-v ordering).
+        intr_sw = ctx_intr[:, ::-1]
+        proj = G.project_pinhole(pt_cross.reshape(B, V, R * P, 3), intr_sw)
+        pix_cross = G.pixel_to_ndc(proj[..., :2], H, W)    # (B, V, R*P, 2)
+
+        coords_self = pixel_val.reshape(B * V, R * P, 2)
+        coords_cross = pix_cross.reshape(B * V, R * P, 2)
+        # image row (b, v) of the coords arrays samples image (b, 1-v)
+        row = jax.lax.broadcasted_iota(jnp.int32, (B * V, R * P), 0)
+        xid = row ^ 1                                      # V == 2
+
+        vals_s, vals_c, w_s, w_c = [], [], [], []
+        for packed in zp:
+            Hl, Wl, C4 = packed.shape[1:4]
+            flat = packed.reshape(-1, C4)
+            cs, ws = cell_rows_and_slot_weights(
+                (Hl, Wl), coords_self, 'border')
+            cc, wc = cell_rows_and_slot_weights(
+                (Hl, Wl), coords_cross, 'zeros', image_id=xid)
+            vals_s.append(jnp.take(flat, cs.reshape(-1), axis=0,
+                                   mode='clip'))
+            vals_c.append(jnp.take(flat, cc.reshape(-1), axis=0,
+                                   mode='clip'))
+            w_s.append(ws.reshape(M, 4))
+            w_c.append(wc.reshape(M, 4))
+
+        pad = jnp.zeros((M, 1), jnp.float32)
+        t_self = jnp.tanh(
+            jax.lax.stop_gradient(pt_self).reshape(M, 3) / 5.0)
+        t_cross = jnp.tanh(pt_cross.reshape(M, 3) / 5.0)
+        aux_self = jnp.concatenate(w_s + [t_self, pad], axis=-1)
+        aux_cross = jnp.concatenate(w_c + [t_cross, pad], axis=-1)
+
+        params = (self.query_encode_latent.kernel,
+                  self.query_encode_latent.bias,
+                  self.query_encode_latent_2.kernel,
+                  self.query_encode_latent_2.bias,
+                  self.latent_value.kernel, self.latent_value.bias,
+                  self.key_map.kernel, self.key_map.bias,
+                  self.key_map_2.kernel, self.key_map_2.bias)
+        params = jax.tree.map(lambda a: a.astype(self.dtype), params)
+        jl, kv = fused_exchange_epilogue(
+            tuple(vals_s), tuple(vals_c), aux_self, aux_cross, params,
+            R * P)
+        return (jl.reshape(B, V, R, P, ld),
+                kv.reshape(B, V, R, P, HIDDEN_DIM))
+
     def _fuse_latent(self, feats, points: Array, detach: bool) -> Array:
         """Shared 2-layer exchange encoder (models.py:335-346).
 
@@ -470,7 +568,7 @@ class CrossAttentionRenderer(nn.Module):
         (e.g. per-pyramid-level gathers); all segments plus tanh(pt/5)
         feed one SplitDense, so neither the pyramid concat nor the
         579-channel concatenation is ever materialized. On TPU the whole
-        chain runs as one Pallas kernel (ops/fused_mlp.py) — the hidden
+        chain runs as one Pallas kernel (ops/experimental/fused_mlp.py) — the hidden
         relu activation never touches HBM."""
         if detach:
             points = jax.lax.stop_gradient(points)
@@ -481,10 +579,11 @@ class CrossAttentionRenderer(nn.Module):
         # flagship shapes (106 vs 99 ms/block) — per-grid-step sequencing
         # eats the saved relu materialization. Env opt-in for re-testing.
         import os
-        use_fused = (os.environ.get('CAR_FUSED_MLP')
+        use_fused = (os.environ.get('CAR_FUSED_MLP', '').lower()
+                     not in ('', '0', 'false')
                      and jax.default_backend() in ('tpu', 'axon'))
         if use_fused and len(parts) == 1 and not self.is_initializing():
-            from cross_attention_renderer_tpu.ops.fused_mlp import (
+            from cross_attention_renderer_tpu.ops.experimental.fused_mlp import (
                 fused_mlp2)
             x1 = parts[0]
             lead = x1.shape[:-1]

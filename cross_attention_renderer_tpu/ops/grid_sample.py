@@ -23,6 +23,7 @@ XLA reference path and the autodiff-friendly fallback.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,39 +46,59 @@ def pack_cells(features: Array) -> Array:
     return jnp.concatenate([features, shift_x, shift_y, shift_xy], axis=-1)
 
 
-def grid_sample_packed(packed: Array, coords_ndc: Array,
-                       padding_mode: str = 'border') -> Array:
-    """Bilinear sample from a :func:`pack_cells` table.
+def cell_rows_and_slot_weights(hw: tuple[int, int], coords_ndc: Array,
+                               padding_mode: str = 'border',
+                               image_id: Optional[Array] = None,
+                               weight_dtype=None
+                               ) -> tuple[Array, Array]:
+    """Cell row index + per-slot bilinear weights for a packed-cell table.
 
-    PACKED-CELL gather: each sample fetches its whole 2x2 bilinear cell as
-    ONE row. XLA's row-take costs ~1.5 ns/row + ~3.6e-3 ns/byte on v5e
-    (BENCH_NOTES.md): 1M rows of 4C beat 4M rows of C by ~4.5 ms per
-    256-ch level. The combine is four FREE lane-slices (4C is a
-    128-multiple) fused into one weighted add.
+    The packed-cell gather's address/weight math, split out so fused
+    consumers (ops/gather_epilogue.py) can run the XLA row-take themselves
+    and do the combine in VMEM.
 
     Exact border/zeros semantics via slot remapping: the cell origin is
     clamped to [0, H-2]x[0, W-2]; each true corner's weight lands in the
     slot its CLAMPED position occupies within that cell (at the image edge
     both x-corners clamp to the same column, so their weights sum —
     exactly torch's border behavior). For 'zeros', the out-of-bounds mask
-    zeroes the true corner's weight first.
+    zeroes the true corner's weight first, and samples whose whole 2x2
+    cell is out of bounds are pointed at row 0 — their weights are all
+    zero, and aliasing the dead fetches onto one hot row keeps them out of
+    HBM's way.
+
+    Args:
+      hw: (H, W) of the (unpacked) feature map.
+      coords_ndc: (B, N, 2) in [-1, 1], (x, y), align_corners=False.
+      padding_mode: 'border' or 'zeros'.
+      image_id: optional (B, N) int32 map from sample to table image row
+        block (default: its own batch row). Lets a caller sample image
+        ``1 - v`` for view-v rays (the V=2 cross-exchange) without
+        reshuffling the coords.
+
+    Returns:
+      (cell (B, N) int32 row indices into the (B*H*W, 4C)-flattened packed
+      table, w_slot (B, N, 4) weights in ``weight_dtype`` (default f32)).
     """
-    B, H, W, C4 = packed.shape
-    C = C4 // 4
-    N = coords_ndc.shape[1]
+    H, W = hw
+    B, N = coords_ndc.shape[:2]
     x = (coords_ndc[..., 0] + 1.0) * W * 0.5 - 0.5
     y = (coords_ndc[..., 1] + 1.0) * H * 0.5 - 0.5
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = (x - x0).astype(packed.dtype)
-    wy = (y - y0).astype(packed.dtype)
+    wdt = weight_dtype or jnp.float32
+    wx = (x - x0).astype(wdt)
+    wy = (y - y0).astype(wdt)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
     x0c = jnp.clip(x0i, 0, W - 2)
     y0c = jnp.clip(y0i, 0, H - 2)
-    base = (jax.lax.broadcasted_iota(jnp.int32, (B, N), 0) * (H * W))
+    if image_id is None:
+        base = (jax.lax.broadcasted_iota(jnp.int32, (B, N), 0) * (H * W))
+    else:
+        base = image_id * (H * W)
     cell = base + y0c * W + x0c                            # (B, N)
 
     w_slot = [0.0, 0.0, 0.0, 0.0]
@@ -93,14 +114,42 @@ def grid_sample_packed(packed: Array, coords_ndc: Array,
             for k in range(4):
                 hit = ((sy * 2 + sx) == k).astype(w_c.dtype)
                 w_slot[k] = w_slot[k] + w_c * hit
+    w_slot = jnp.stack(w_slot, axis=-1)                    # (B, N, 4)
+    if padding_mode == 'zeros':
+        # All-OOB samples: alias the fetch onto row 0 (weights already 0).
+        # Wide-baseline cross-projections put a large sample fraction fully
+        # outside the image; repeated reads of one hot row are nearly free
+        # next to scattered dead-row traffic.
+        dead = jnp.sum(w_slot, axis=-1) <= 0.0
+        cell = jnp.where(dead, 0, cell)
+    return cell, w_slot
 
+
+def grid_sample_packed(packed: Array, coords_ndc: Array,
+                       padding_mode: str = 'border') -> Array:
+    """Bilinear sample from a :func:`pack_cells` table.
+
+    PACKED-CELL gather: each sample fetches its whole 2x2 bilinear cell as
+    ONE row. XLA's row-take costs ~1.5 ns/row + ~3.6e-3 ns/byte on v5e
+    (BENCH_NOTES.md): 1M rows of 4C beat 4M rows of C by ~4.5 ms per
+    256-ch level. The combine is four FREE lane-slices (4C is a
+    128-multiple) fused into one weighted add.
+
+    Address/weight math in :func:`cell_rows_and_slot_weights`.
+    """
+    B, H, W, C4 = packed.shape
+    C = C4 // 4
+    N = coords_ndc.shape[1]
+    cell, w_slot = cell_rows_and_slot_weights(
+        (H, W), coords_ndc, padding_mode, weight_dtype=packed.dtype)
     vals = jnp.take(packed.reshape(B * H * W, C4),
                     cell.reshape(-1), axis=0, mode='clip') # (B*N, 4C)
     M = B * N
+    w_flat = w_slot.reshape(M, 4)
     out = None
     for k in range(4):
         term = (jax.lax.slice_in_dim(vals, k * C, (k + 1) * C, axis=1)
-                * w_slot[k].reshape(M, 1))
+                * w_flat[:, k:k + 1])
         out = term if out is None else out + term
     return out.reshape(B, N, C)
 

@@ -172,7 +172,7 @@ def grid_sample_auto(features: Array, coords_ndc: Array,
         # take path (clip-mode, weight-folded mask, free-view corner
         # slices: ~16 vs ~17-18.5 ms/level at 1M samples, and bf16 output
         # without a convert). Kept behind an env flag for comparison.
-        from cross_attention_renderer_tpu.ops.banded_gather import (
+        from cross_attention_renderer_tpu.ops.experimental.banded_gather import (
             grid_sample_banded)
         return grid_sample_banded(features, coords_ndc, padding_mode)
     if on_tpu and os.environ.get('CAR_PALLAS_GATHER'):

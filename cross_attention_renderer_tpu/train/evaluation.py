@@ -74,6 +74,13 @@ def make_scan_renderer(model, n_chunks: int) -> Callable:
     144-149 and render_realestate10k_traj.py:118-137; SURVEY.md §7.1
     prescribes exactly this scan.
     """
+    from cross_attention_renderer_tpu.ops import pack_pyramid
+
+    # The V=2 multiview path samples from packed cell tables; build them
+    # ONCE per image outside the scan instead of per block (the table is a
+    # 4x-size build the scan body would otherwise redo every iteration).
+    uses_packed = (model.n_view == 2 and not model.no_latent_concat
+                   and not model._use_sorted_stream(1, 2, 8192, 64))
 
     @jax.jit
     def render_image(p, scene, z, uv_full):
@@ -81,12 +88,13 @@ def make_scan_renderer(model, n_chunks: int) -> Callable:
         size = n_rays // n_chunks
         blocks = uv_full.reshape(B, Q, n_chunks, size, 2)
         blocks = jnp.moveaxis(blocks, 2, 0)                # (NB, B, Q, S, 2)
+        zp = pack_pyramid(tuple(z)) if uses_packed else None
 
         def body(_, uv):
             s = dict(scene)
             s['query'] = dict(scene['query'])
             s['query']['uv'] = uv
-            out = model.apply(p, s, z=z)
+            out = model.apply(p, s, z=z, z_packed=zp)
             return None, (out['rgb'], out['valid_mask'])
 
         _, (rgb, valid) = jax.lax.scan(body, None, blocks)

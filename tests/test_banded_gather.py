@@ -8,7 +8,7 @@ import pytest
 import jax.experimental.pallas as pl
 
 from cross_attention_renderer_tpu.ops import grid_sample
-from cross_attention_renderer_tpu.ops import banded_gather as BG
+from cross_attention_renderer_tpu.ops.experimental import banded_gather as BG
 
 
 @pytest.fixture(autouse=True)

@@ -7,7 +7,7 @@ import pytest
 
 import jax.experimental.pallas as pl
 
-from cross_attention_renderer_tpu.ops import fused_mlp as FM
+from cross_attention_renderer_tpu.ops.experimental import fused_mlp as FM
 
 
 @pytest.fixture(autouse=True)

@@ -1,0 +1,115 @@
+"""Unit tests for the fused V=2 exchange epilogue (ops/gather_epilogue.py).
+
+The jnp reference is checked against an independent formulation of the same
+math (bilinear combine + SplitDense chains, as the renderer's unfused path
+writes it); the Pallas kernel is checked against the reference in interpret
+mode; gradients flow through the custom VJP.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cross_attention_renderer_tpu.ops import gather_epilogue as GE
+
+CHANNELS = (32, 32, 16)     # small stand-ins for (256, 256, 64)
+F = sum(CHANNELS)
+H1 = F                      # fuse hidden width (= base latent dim)
+LD = F // 2                 # fuse output / latent dim
+HID = 16                    # attention hidden
+RP = 64                     # R * P per (b, v)
+M = 4 * RP                  # B=2 interleaved with V=2
+
+
+def _random_case(seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+
+    def arr(*s):
+        return jnp.asarray(rng.standard_normal(s), dtype)
+
+    vals_self = tuple(arr(M, 4 * c) for c in CHANNELS)
+    vals_cross = tuple(arr(M, 4 * c) for c in CHANNELS)
+    # slot weights: convex-ish rows plus some exact zeros (the 'zeros' mode)
+    aux = rng.random((2, M, 16)).astype(np.float32)
+    aux[:, ::7, :12] = 0.0
+    aux_self, aux_cross = jnp.asarray(aux[0]), jnp.asarray(aux[1])
+    params = (arr(F + 3, H1), arr(H1), arr(H1, LD), arr(LD),
+              arr(2 * LD, LD), arr(LD), arr(2 * LD, HID), arr(HID),
+              arr(HID, HID), arr(HID))
+    return vals_self, vals_cross, aux_self, aux_cross, params
+
+
+def _naive(vals_self, vals_cross, aux_self, aux_cross, params):
+    """Independent re-derivation, written the way the renderer's unfused
+    path does it (per-view slices, explicit concats)."""
+    (w1, b1, w2, b2, lv, lv_bias, km, km_bias, k2, k2_bias) = params
+
+    def combine(vals, aux):
+        outs = []
+        for l, v in enumerate(vals):
+            c = v.shape[-1] // 4
+            vv = v.reshape(M, 4, c)
+            w = aux[:, l * 4:(l + 1) * 4]
+            outs.append(jnp.einsum('mkc,mk->mc', vv, w))
+        return jnp.concatenate(outs, -1)
+
+    def fuse(vals, aux):
+        x = jnp.concatenate([combine(vals, aux), aux[:, 12:15]], -1)
+        return jax.nn.relu(x @ w1 + b1) @ w2 + b2
+
+    fs = fuse(vals_self, aux_self).reshape(2, 2, RP, LD)
+    fc = fuse(vals_cross, aux_cross).reshape(2, 2, RP, LD)
+    jl, kv = [], []
+    for v in range(2):
+        pair = ((fs[:, v], fc[:, v]) if v == 0 else (fc[:, v], fs[:, v]))
+        cat = jnp.concatenate(pair, -1)
+        jl.append(cat @ lv + lv_bias)
+        kv.append(jax.nn.relu(cat @ km + km_bias) @ k2 + k2_bias)
+    return (jnp.stack(jl, 1).reshape(M, LD),
+            jnp.stack(kv, 1).reshape(M, HID))
+
+
+def test_reference_matches_naive():
+    case = _random_case(0)
+    jl, kv = GE._reference(*case, RP)
+    jl2, kv2 = _naive(*case)
+    np.testing.assert_allclose(np.asarray(jl), np.asarray(jl2),
+                               rtol=1e-4, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(kv2),
+                               rtol=1e-4, atol=5e-3)
+
+
+def test_pallas_interpret_matches_reference():
+    case = _random_case(1)
+    jl, kv = GE._reference(*case, RP)
+    old = GE.BLOCK_M
+    GE.BLOCK_M = RP
+    try:
+        jlp, kvp = GE._pallas_forward(*case, RP, interpret=True)
+    finally:
+        GE.BLOCK_M = old
+    np.testing.assert_allclose(np.asarray(jl), np.asarray(jlp),
+                               atol=2e-2, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(kvp),
+                               atol=2e-2, rtol=2e-3)
+
+
+def test_custom_vjp_matches_reference_grads():
+    case = _random_case(2)
+    vals_self, vals_cross, aux_self, aux_cross, params = case
+
+    def loss_op(vs, p):
+        jl, kv = GE.fused_exchange_epilogue(vs, vals_cross, aux_self,
+                                            aux_cross, p, RP)
+        return jnp.sum(jl ** 2) + jnp.sum(kv ** 2)
+
+    def loss_ref(vs, p):
+        jl, kv = GE._reference(vs, vals_cross, aux_self, aux_cross, p, RP)
+        return jnp.sum(jl ** 2) + jnp.sum(kv ** 2)
+
+    g_op = jax.grad(loss_op, argnums=(0, 1))(vals_self, params)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(vals_self, params)
+    for a, b in zip(jax.tree.leaves(g_op), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-2, rtol=2e-3)

@@ -144,3 +144,40 @@ def test_sorted_stream_gradients_match():
         # near-zero entries (observed max ~3e-5 on f32 CPU).
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=1e-4)
+
+
+def test_fused_epilogue_matches_standard(monkeypatch):
+    """The fused-exchange wiring (address math, cross-stream image ids,
+    aux packing, view ordering) must reproduce the unfused V=2 path. On CPU
+    the op runs its jnp reference, so this pins the integration, and the
+    kernel itself is pinned to that reference in test_gather_epilogue."""
+    model, params, scene = build(2)
+    out_std = model.apply(params, scene)
+    monkeypatch.setattr(CrossAttentionRenderer, '_use_fused_epilogue',
+                        lambda self: not self.is_initializing())
+    out_fused = model.apply(params, scene)
+    np.testing.assert_allclose(np.asarray(out_std['rgb']),
+                               np.asarray(out_fused['rgb']),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_std['at_wt']),
+                               np.asarray(out_fused['at_wt']),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_fused_epilogue_gradients_match(monkeypatch):
+    model, params, scene = build(2)
+
+    def loss(p):
+        out = model.apply(p, scene)
+        return jnp.sum(out['rgb'] ** 2)
+
+    g_std = jax.grad(loss)(params)
+    monkeypatch.setattr(CrossAttentionRenderer, '_use_fused_epilogue',
+                        lambda self: not self.is_initializing())
+    g_fused = jax.grad(loss)(params)
+    for a, b in zip(jax.tree.leaves(g_std), jax.tree.leaves(g_fused)):
+        a, b = np.asarray(a), np.asarray(b)
+        # f32 noise floor scales with the leaf's magnitude (grads here span
+        # 1e-5 .. 1e3); elementwise rtol alone misfires on near-zeros.
+        np.testing.assert_allclose(a, b, rtol=5e-3,
+                                   atol=1e-5 * np.abs(a).max() + 5e-5)
