@@ -525,7 +525,7 @@ class CrossAttentionRenderer(nn.Module):
         row = jax.lax.broadcasted_iota(jnp.int32, (B * V, R * P), 0)
         xid = row ^ 1                                      # V == 2
 
-        vals_s, vals_c, w_s, w_c = [], [], [], []
+        vals_b, w_s, w_c = [], [], []
         for packed in zp:
             Hl, Wl, C4 = packed.shape[1:4]
             flat = packed.reshape(-1, C4)
@@ -533,10 +533,18 @@ class CrossAttentionRenderer(nn.Module):
                 (Hl, Wl), coords_self, 'border')
             cc, wc = cell_rows_and_slot_weights(
                 (Hl, Wl), coords_cross, 'zeros', image_id=xid)
-            vals_s.append(jnp.take(flat, cs.reshape(-1), axis=0,
-                                   mode='clip'))
-            vals_c.append(jnp.take(flat, cc.reshape(-1), axis=0,
-                                   mode='clip'))
+            # ONE take per level for BOTH streams: each packed table has a
+            # single gather use, so XLA's memory-space assignment prefetches
+            # it to VMEM even inside a while loop (with two uses per table
+            # it VMEM-placed only one, leaving the other a ~5x slower
+            # HBM-random take — measured 21 vs 4 ms on the 128² level in
+            # the scan renderer). The epilogue kernel reads the stacked
+            # halves via block-index offsets, so they are never split
+            # (splitting costs a 4 GB copy per level).
+            vals_b.append(jnp.take(
+                flat,
+                jnp.concatenate([cs.reshape(-1), cc.reshape(-1)]),
+                axis=0, mode='clip'))
             w_s.append(ws.reshape(M, 4))
             w_c.append(wc.reshape(M, 4))
 
@@ -556,8 +564,7 @@ class CrossAttentionRenderer(nn.Module):
                   self.key_map_2.kernel, self.key_map_2.bias)
         params = jax.tree.map(lambda a: a.astype(self.dtype), params)
         jl, kv = fused_exchange_epilogue(
-            tuple(vals_s), tuple(vals_c), aux_self, aux_cross, params,
-            R * P)
+            tuple(vals_b), aux_self, aux_cross, params, R * P)
         return (jl.reshape(B, V, R, P, ld),
                 kv.reshape(B, V, R, P, HIDDEN_DIM))
 

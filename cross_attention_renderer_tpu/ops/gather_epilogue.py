@@ -65,10 +65,13 @@ def _combine(vals: Sequence[Array], aux: Array) -> Array:
     return jnp.concatenate(parts, axis=-1)
 
 
-def _reference(vals_self, vals_cross, aux_self, aux_cross, params, rp):
+def _reference(vals_both, aux_self, aux_cross, params, rp):
     (w1, b1, w2, b2, lv, lv_bias, km, km_bias, k2, k2_bias) = params
-    dt = vals_self[0].dtype
-    M = vals_self[0].shape[0]
+    dt = vals_both[0].dtype
+    M = vals_both[0].shape[0] // 2
+    vals_self = [jax.lax.slice_in_dim(v, 0, M, axis=0) for v in vals_both]
+    vals_cross = [jax.lax.slice_in_dim(v, M, 2 * M, axis=0)
+                  for v in vals_both]
     F = w1.shape[0] - 3                    # feature width (576)
     O = w2.shape[1]                        # fuse output (288)
 
@@ -159,21 +162,25 @@ def _make_kernel(channels: tuple[int, ...], rp: int, block_m: int):
     return kernel
 
 
-def _pallas_forward(vals_self, vals_cross, aux_self, aux_cross, params, rp,
+def _pallas_forward(vals_both, aux_self, aux_cross, params, rp,
                     interpret=False):
     (w1, b1, w2, b2, lv, lv_bias, km, km_bias, k2, k2_bias) = params
-    channels = tuple(v.shape[-1] // 4 for v in vals_self)
-    M = vals_self[0].shape[0]
-    dt = vals_self[0].dtype
+    channels = tuple(v.shape[-1] // 4 for v in vals_both)
+    M = vals_both[0].shape[0] // 2
+    dt = vals_both[0].dtype
     F = sum(channels)
     H_ = w1.shape[1]
     O = w2.shape[1]
     K = k2.shape[1]
     bm = BLOCK_M
     grid = (M // bm,)
+    n_blocks = M // bm
 
-    def row_spec(width):
-        return pl.BlockSpec((bm, width), lambda i: (i, 0),
+    def row_spec(width, off=0):
+        # off shifts the block index — the same (2M, ·) stacked-take buffer
+        # serves the self stream (rows [0, M)) and the cross stream (rows
+        # [M, 2M)) without ever being split (a split costs a 4 GB copy).
+        return pl.BlockSpec((bm, width), lambda i, off=off: (i + off, 0),
                             memory_space=pltpu.VMEM)
 
     def whole(a):
@@ -186,7 +193,8 @@ def _pallas_forward(vals_self, vals_cross, aux_self, aux_cross, params, rp,
               km.astype(dt), km_bias.reshape(1, K).astype(jnp.float32),
               k2.astype(dt), k2_bias.reshape(1, K).astype(jnp.float32)]
 
-    in_specs = ([row_spec(4 * c) for c in channels] * 2
+    in_specs = ([row_spec(4 * c) for c in channels]
+                + [row_spec(4 * c, n_blocks) for c in channels]
                 + [row_spec(16), row_spec(16)]
                 + [whole(a) for a in w_args])
 
@@ -200,7 +208,7 @@ def _pallas_forward(vals_self, vals_cross, aux_self, aux_cross, params, rp,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(*vals_self, *vals_cross, aux_self.astype(jnp.float32),
+    )(*vals_both, *vals_both, aux_self.astype(jnp.float32),
       aux_cross.astype(jnp.float32), *w_args)
     return jl, kv
 
@@ -209,24 +217,27 @@ def _pallas_forward(vals_self, vals_cross, aux_self, aux_cross, params, rp,
 # public op
 # ---------------------------------------------------------------------------
 
-def _forward(vals_self, vals_cross, aux_self, aux_cross, params, rp):
-    M = vals_self[0].shape[0]
+def _forward(vals_both, aux_self, aux_cross, params, rp):
+    M = vals_both[0].shape[0] // 2
     ok = (_on_tpu() and M % BLOCK_M == 0 and rp % BLOCK_M == 0)
     if not ok:
-        return _reference(vals_self, vals_cross, aux_self, aux_cross,
-                          params, rp)
-    return _pallas_forward(vals_self, vals_cross, aux_self, aux_cross,
-                           params, rp)
+        return _reference(vals_both, aux_self, aux_cross, params, rp)
+    return _pallas_forward(vals_both, aux_self, aux_cross, params, rp)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_exchange_epilogue(vals_self, vals_cross, aux_self, aux_cross,
-                            params, rp: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_exchange_epilogue(vals_both, aux_self, aux_cross, params,
+                            rp: int):
     """(joint_latent (M, ld), key_val (M, hidden)) from raw take rows.
 
     Args:
-      vals_self / vals_cross: per-level packed-cell take outputs, each
-        (M, 4*C_l), model dtype. M flattens (B, V, R, P).
+      vals_both: per-level packed-cell take outputs, each (2M, 4*C_l) in
+        model dtype — the SELF stream's M rows stacked over the CROSS
+        stream's M rows (one take per level keeps the packed table a
+        single-use gather operand, which XLA's memory-space assignment
+        will VMEM-prefetch even inside a while loop; the kernel reads the
+        two halves via block-index offsets so the stack is never split).
+        M flattens (B, V, R, P).
       aux_self / aux_cross: (M, 16) f32 — 12 slot weights (4 per level,
         level-major) then tanh(pt/5) (3) then pad. Gradient stops on the
         self points are the CALLER's job (apply before tanh).
@@ -236,19 +247,19 @@ def fused_exchange_epilogue(vals_self, vals_cross, aux_self, aux_cross,
       rp: R * P (static) — the per-(batch, view) sample count, for the
         in-kernel view-id computation.
     """
-    return _forward(vals_self, vals_cross, aux_self, aux_cross, params, rp)
+    return _forward(vals_both, aux_self, aux_cross, params, rp)
 
 
-def _fwd(vals_self, vals_cross, aux_self, aux_cross, params, rp):
-    out = _forward(vals_self, vals_cross, aux_self, aux_cross, params, rp)
-    return out, (vals_self, vals_cross, aux_self, aux_cross, params)
+def _fwd(vals_both, aux_self, aux_cross, params, rp):
+    out = _forward(vals_both, aux_self, aux_cross, params, rp)
+    return out, (vals_both, aux_self, aux_cross, params)
 
 
 def _bwd(rp, res, g):
-    vals_self, vals_cross, aux_self, aux_cross, params = res
+    vals_both, aux_self, aux_cross, params = res
     _, vjp = jax.vjp(
-        lambda vs, vc, as_, ac, p: _reference(vs, vc, as_, ac, p, rp),
-        vals_self, vals_cross, aux_self, aux_cross, params)
+        lambda vb, as_, ac, p: _reference(vb, as_, ac, p, rp),
+        vals_both, aux_self, aux_cross, params)
     return vjp(g)
 
 

@@ -28,8 +28,8 @@ def _random_case(seed=0, dtype=jnp.float32):
     def arr(*s):
         return jnp.asarray(rng.standard_normal(s), dtype)
 
-    vals_self = tuple(arr(M, 4 * c) for c in CHANNELS)
-    vals_cross = tuple(arr(M, 4 * c) for c in CHANNELS)
+    # self stream rows stacked over cross stream rows (one take per level)
+    vals_both = tuple(arr(2 * M, 4 * c) for c in CHANNELS)
     # slot weights: convex-ish rows plus some exact zeros (the 'zeros' mode)
     aux = rng.random((2, M, 16)).astype(np.float32)
     aux[:, ::7, :12] = 0.0
@@ -37,13 +37,15 @@ def _random_case(seed=0, dtype=jnp.float32):
     params = (arr(F + 3, H1), arr(H1), arr(H1, LD), arr(LD),
               arr(2 * LD, LD), arr(LD), arr(2 * LD, HID), arr(HID),
               arr(HID, HID), arr(HID))
-    return vals_self, vals_cross, aux_self, aux_cross, params
+    return vals_both, aux_self, aux_cross, params
 
 
-def _naive(vals_self, vals_cross, aux_self, aux_cross, params):
+def _naive(vals_both, aux_self, aux_cross, params):
     """Independent re-derivation, written the way the renderer's unfused
     path does it (per-view slices, explicit concats)."""
     (w1, b1, w2, b2, lv, lv_bias, km, km_bias, k2, k2_bias) = params
+    vals_self = [v[:M] for v in vals_both]
+    vals_cross = [v[M:] for v in vals_both]
 
     def combine(vals, aux):
         outs = []
@@ -97,19 +99,18 @@ def test_pallas_interpret_matches_reference():
 
 def test_custom_vjp_matches_reference_grads():
     case = _random_case(2)
-    vals_self, vals_cross, aux_self, aux_cross, params = case
+    vals_both, aux_self, aux_cross, params = case
 
-    def loss_op(vs, p):
-        jl, kv = GE.fused_exchange_epilogue(vs, vals_cross, aux_self,
-                                            aux_cross, p, RP)
+    def loss_op(vb, p):
+        jl, kv = GE.fused_exchange_epilogue(vb, aux_self, aux_cross, p, RP)
         return jnp.sum(jl ** 2) + jnp.sum(kv ** 2)
 
-    def loss_ref(vs, p):
-        jl, kv = GE._reference(vs, vals_cross, aux_self, aux_cross, p, RP)
+    def loss_ref(vb, p):
+        jl, kv = GE._reference(vb, aux_self, aux_cross, p, RP)
         return jnp.sum(jl ** 2) + jnp.sum(kv ** 2)
 
-    g_op = jax.grad(loss_op, argnums=(0, 1))(vals_self, params)
-    g_ref = jax.grad(loss_ref, argnums=(0, 1))(vals_self, params)
+    g_op = jax.grad(loss_op, argnums=(0, 1))(vals_both, params)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(vals_both, params)
     for a, b in zip(jax.tree.leaves(g_op), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-2, rtol=2e-3)

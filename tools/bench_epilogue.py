@@ -28,26 +28,24 @@ def main():
     def arr(*s):
         return jax.random.normal(next(keys), s, dt)
 
-    vals_self = tuple(arr(M, 4 * c) for c in CHANNELS)
-    vals_cross = tuple(arr(M, 4 * c) for c in CHANNELS)
+    vals_both = tuple(arr(2 * M, 4 * c) for c in CHANNELS)
     aux_self = jax.random.uniform(next(keys), (M, 16), jnp.float32)
     aux_cross = jax.random.uniform(next(keys), (M, 16), jnp.float32)
     params = (arr(F + 3, F), arr(F), arr(F, LD), arr(LD),
               arr(2 * LD, LD), arr(LD), arr(2 * LD, HID), arr(HID),
               arr(HID, HID), arr(HID))
-    jax.block_until_ready(vals_self)
+    jax.block_until_ready(vals_both)
     for bm in blocks:
         GE.BLOCK_M = bm
         try:
-            f = jax.jit(lambda vs, vc, as_, ac, p:
-                        GE._pallas_forward(vs, vc, as_, ac, p, RP))
-            jl, kv = f(vals_self, vals_cross, aux_self, aux_cross, params)
+            f = jax.jit(lambda vb, as_, ac, p:
+                        GE._pallas_forward(vb, as_, ac, p, RP))
+            jl, kv = f(vals_both, aux_self, aux_cross, params)
             float(jl.sum())
             t0 = time.perf_counter()
             n = 20
             for _ in range(n):
-                jl, kv = f(vals_self, vals_cross, aux_self, aux_cross,
-                           params)
+                jl, kv = f(vals_both, aux_self, aux_cross, params)
             float(jl.sum()) + float(kv.sum())
             dt_ms = (time.perf_counter() - t0) / n * 1e3
             print(f'BLOCK_M={bm:5d}: {dt_ms:.2f} ms '
