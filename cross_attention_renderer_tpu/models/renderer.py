@@ -548,10 +548,17 @@ class CrossAttentionRenderer(nn.Module):
             w_s.append(ws.reshape(M, 4))
             w_c.append(wc.reshape(M, 4))
 
-        pad = jnp.zeros((M, 1), jnp.float32)
+        # aux rides in the model dtype: the kernel casts slot weights to it
+        # anyway, and halving the (M, 16) arrays halves their layout copy
+        # (~1.6 ms/block at flagship shapes). Only tanh(pt/5) loses f32
+        # storage — bounded in [-1, 1], it feeds 3 of 579 hidden rows.
+        adt = self.dtype
+        pad = jnp.zeros((M, 1), adt)
         t_self = jnp.tanh(
-            jax.lax.stop_gradient(pt_self).reshape(M, 3) / 5.0)
-        t_cross = jnp.tanh(pt_cross.reshape(M, 3) / 5.0)
+            jax.lax.stop_gradient(pt_self).reshape(M, 3) / 5.0).astype(adt)
+        t_cross = jnp.tanh(pt_cross.reshape(M, 3) / 5.0).astype(adt)
+        w_s = [w.astype(adt) for w in w_s]
+        w_c = [w.astype(adt) for w in w_c]
         aux_self = jnp.concatenate(w_s + [t_self, pad], axis=-1)
         aux_cross = jnp.concatenate(w_c + [t_cross, pad], axis=-1)
 

@@ -23,7 +23,7 @@ Layout contract (matches the renderer's (B, V, R, P) flattening):
   * sample m belongs to view v = (m // (R*P)) % 2 — blocks never straddle
     a view boundary because R*P % BLOCK_M == 0 is required;
   * aux rows pack [12 slot weights (4 per level), tanh(pt_self/5) (3),
-    pad] — one (M, 16) f32 array per stream.
+    pad] — one (M, 16) float array per stream (model dtype in production).
 """
 
 from __future__ import annotations
@@ -115,7 +115,9 @@ def _make_kernel(channels: tuple[int, ...], rp: int, block_m: int):
 
         def fuse(v_refs, aux_ref):
             h = None
-            aux = aux_ref[:]                                   # (BM, 16) f32
+            # (BM, 16); any float dtype — combine casts to the model dtype
+            # (matching the jnp reference), tanh rows accumulate in f32.
+            aux = aux_ref[:]
             for l in range(n_lvl):
                 v = v_refs[l][:]                               # (BM, 4C)
                 C = channels[l]
@@ -130,7 +132,7 @@ def _make_kernel(channels: tuple[int, ...], rp: int, block_m: int):
             # tanh-pt rows of W1: 3 outer products on the VPU (a K=3 matmul
             # wastes the MXU).
             for j in range(3):
-                h = h + (aux[:, 12 + j:13 + j]
+                h = h + (aux[:, 12 + j:13 + j].astype(jnp.float32)
                          * w1_ref[F + j:F + j + 1, :].astype(jnp.float32))
             h = jnp.maximum(h + b1_ref[:].astype(jnp.float32), 0.0)
             out = jnp.dot(h.astype(dt), w2_ref[:],
@@ -206,10 +208,12 @@ def _pallas_forward(vals_both, aux_self, aux_cross, params, rp,
         out_shape=(jax.ShapeDtypeStruct((M, O), dt),
                    jax.ShapeDtypeStruct((M, K), dt)),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                ('arbitrary',)
+                if os.environ.get('CAR_EPILOGUE_ARB') else ('parallel',)),
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(*vals_both, *vals_both, aux_self.astype(jnp.float32),
-      aux_cross.astype(jnp.float32), *w_args)
+    )(*vals_both, *vals_both, aux_self, aux_cross, *w_args)
     return jl, kv
 
 
@@ -238,9 +242,10 @@ def fused_exchange_epilogue(vals_both, aux_self, aux_cross, params,
         will VMEM-prefetch even inside a while loop; the kernel reads the
         two halves via block-index offsets so the stack is never split).
         M flattens (B, V, R, P).
-      aux_self / aux_cross: (M, 16) f32 — 12 slot weights (4 per level,
-        level-major) then tanh(pt/5) (3) then pad. Gradient stops on the
-        self points are the CALLER's job (apply before tanh).
+      aux_self / aux_cross: (M, 16), any float dtype (the combine casts to
+        the vals dtype; tanh rows accumulate in f32) — 12 slot weights
+        (4 per level, level-major) then tanh(pt/5) (3) then pad. Gradient
+        stops on the self points are the CALLER's job (apply before tanh).
       params: (w1 (F+3, H1), b1, w2 (H1, ld), b2, lv (2ld, ld), lv_bias,
         km (2ld, hid), km_bias, k2 (hid, hid), k2_bias) — the SplitDense
         kernels of query_encode_latent{,_2}, latent_value, key_map{,_2}.
