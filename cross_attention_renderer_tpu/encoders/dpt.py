@@ -104,6 +104,7 @@ class DPTHybridEncoder(nn.Module):
     remat: bool = False
     resnet_layers: tuple[int, int, int] = (3, 4, 9)
     resnet_width: int = 64
+    pretrain_grid: int = 14   # see MultiViewViT.pretrain_grid
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -123,6 +124,7 @@ class DPTHybridEncoder(nn.Module):
                                   heads=self.vit_heads, remat=self.remat,
                                   taps=(8, 11) if self.vit_depth == 12
                                   else taps,
+                                  pretrain_grid=self.pretrain_grid,
                                   dtype=self.dtype, name='vit')(
             grids, rel_pose16)
 

@@ -3,14 +3,18 @@
 From-scratch Flax implementation of the convolutional trunk the reference
 gets from timm's ``vit_base_r50_s16_384`` (``vit_models.py:184-192``:
 ``_resnetv2((3, 4, 9))``): weight-standardized convs with TF-SAME padding,
-GroupNorm(32) + ReLU pre-activation bottlenecks, stage widths 256/512/1024
-at strides /4, /8, /16. The two early stages double as the DPT's high-res
-feature taps (``midas/vit.py:410-416``), so :meth:`ResNetV2Stem.__call__`
-returns all three stage outputs explicitly — no forward hooks.
+GroupNorm(32)+ReLU bottlenecks, stage widths 256/512/1024 at strides
+/4, /8, /16. timm's ViT-hybrid helper builds ResNetV2 with
+``preact=False`` (matching google's original R50+ViT trunk): norm AFTER
+each conv, the projection shortcut is conv+norm, and the block activation
+fires after the residual add. The two early stages double as the DPT's
+high-res feature taps (``midas/vit.py:410-416``), so
+:meth:`ResNetV2Stem.__call__` returns all three stage outputs explicitly —
+no forward hooks.
 
 Layout: NHWC (channel-last), the native TPU conv layout. The parameter tree
 is organized to permit a mechanical mapping from timm checkpoints
-(stem / stage{i} / block{j} / conv{k}+gn{k}).
+(stem / stage{i} / block{j} / conv{k}+norm{k}).
 """
 
 from __future__ import annotations
@@ -27,14 +31,17 @@ Array = Any
 class StdConv(nn.Module):
     """Weight-standardized conv, TF-SAME padding.
 
-    Matches timm ``StdConv2dSame`` (the reference swaps in a fresh one for
-    the stem at ``models.py:93``): kernel standardized per output channel
-    over (kh, kw, in) with eps 1e-8, no bias.
+    Matches timm ``StdConv2dSame``: kernel standardized per output channel
+    over (kh, kw, in) with biased variance, no bias. timm's hybrid helper
+    pins ``eps=1e-8`` on every trunk conv, while the stem conv the
+    reference swaps in at ``models.py:93`` is a default-constructed
+    ``StdConv2dSame`` (eps 1e-6) — hence the field.
     """
     features: int
     kernel_size: tuple[int, int]
     strides: tuple[int, int] = (1, 1)
     use_bias: bool = False
+    eps: float = 1e-8
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -46,7 +53,7 @@ class StdConv(nn.Module):
             (kh, kw, in_ch, self.features), jnp.float32)
         mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(kernel, axis=(0, 1, 2), keepdims=True)
-        kernel = (kernel - mean) / jnp.sqrt(var + 1e-8)
+        kernel = (kernel - mean) / jnp.sqrt(var + self.eps)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=self.strides, padding='SAME',
@@ -81,18 +88,22 @@ def max_pool_same(x: Array, window: tuple[int, int],
 
 
 class GroupNormRelu(nn.Module):
-    """GroupNorm(32) + ReLU (timm ``GroupNormAct``)."""
+    """GroupNorm(32), optionally + ReLU (timm ``GroupNormAct``)."""
+    act: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = nn.GroupNorm(num_groups=32, epsilon=1e-5, use_fast_variance=False,
                          dtype=self.dtype)(x)
-        return nn.relu(x)
+        return nn.relu(x) if self.act else x
 
 
-class PreActBottleneck(nn.Module):
-    """Pre-activation bottleneck block (ResNetV2)."""
+class Bottleneck(nn.Module):
+    """Non-preact bottleneck (timm ResNetV2 with ``preact=False``, the
+    variant its ViT-hybrid helper builds): conv->norm->relu twice,
+    conv3->norm3, ReLU after the residual add; projection shortcut is
+    conv + norm (no act)."""
     mid: int
     out: int
     stride: int = 1
@@ -100,20 +111,22 @@ class PreActBottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x_pre = GroupNormRelu(dtype=self.dtype, name='norm1')(x)
         needs_proj = (x.shape[-1] != self.out) or self.stride != 1
         if needs_proj:
             shortcut = StdConv(self.out, (1, 1), (self.stride, self.stride),
-                               dtype=self.dtype, name='downsample')(x_pre)
+                               dtype=self.dtype, name='downsample_conv')(x)
+            shortcut = GroupNormRelu(act=False, dtype=self.dtype,
+                                     name='downsample_norm')(shortcut)
         else:
             shortcut = x
-        y = StdConv(self.mid, (1, 1), dtype=self.dtype, name='conv1')(x_pre)
-        y = GroupNormRelu(dtype=self.dtype, name='norm2')(y)
+        y = StdConv(self.mid, (1, 1), dtype=self.dtype, name='conv1')(x)
+        y = GroupNormRelu(dtype=self.dtype, name='norm1')(y)
         y = StdConv(self.mid, (3, 3), (self.stride, self.stride),
                     dtype=self.dtype, name='conv2')(y)
-        y = GroupNormRelu(dtype=self.dtype, name='norm3')(y)
+        y = GroupNormRelu(dtype=self.dtype, name='norm2')(y)
         y = StdConv(self.out, (1, 1), dtype=self.dtype, name='conv3')(y)
-        return y + shortcut
+        y = GroupNormRelu(act=False, dtype=self.dtype, name='norm3')(y)
+        return nn.relu(y + shortcut)
 
 
 class ResNetV2Stem(nn.Module):
@@ -128,7 +141,9 @@ class ResNetV2Stem(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> tuple[Array, Array, Array]:
-        x = StdConv(self.width, (7, 7), (2, 2), dtype=self.dtype,
+        # The reference swaps in a default-eps StdConv2dSame for the stem
+        # conv (models.py:93); trunk convs keep the helper's eps=1e-8.
+        x = StdConv(self.width, (7, 7), (2, 2), eps=1e-6, dtype=self.dtype,
                     name='stem_conv')(x)
         x = GroupNormRelu(dtype=self.dtype, name='stem_norm')(x)
         x = max_pool_same(x, (3, 3), (2, 2))
@@ -140,7 +155,7 @@ class ResNetV2Stem(nn.Module):
             mid_ch = out_ch // 4
             for block_idx in range(n_blocks):
                 stride = 2 if (block_idx == 0 and stage_idx > 0) else 1
-                x = PreActBottleneck(
+                x = Bottleneck(
                     mid=mid_ch, out=out_ch, stride=stride, dtype=self.dtype,
                     name=f'stage{stage_idx}_block{block_idx}')(x)
             outs.append(x)

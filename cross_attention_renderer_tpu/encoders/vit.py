@@ -67,7 +67,12 @@ class MultiViewViT(nn.Module):
     depth: int = 12
     heads: int = 12
     taps: tuple[int, int] = (8, 11)
-    pretrain_grid: int = 24  # pos_embed stored for 384/16 = 24x24 + cls
+    # pos_embed grid as stored in the checkpoint. The reference's encoder is
+    # built at timm's default img_size=224 (vit_models.py:159-181 never
+    # forwards an img_size, and the DPT 384px checkpoint at models.py:89 is
+    # assigned but never loaded) -> 224/16 = 14x14 grid + cls = 197 tokens,
+    # bilinearly resized to the runtime grid (midas/vit.py:107-121).
+    pretrain_grid: int = 14
     # rematerialize transformer blocks in the backward pass (trades ~1/3 more
     # FLOPs for O(depth) less activation memory — enables bigger batches)
     remat: bool = False

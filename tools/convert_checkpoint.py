@@ -140,6 +140,7 @@ def convert_vit_block(sd: dict, prefix: str, heads: int = 12) -> dict:
 
 
 def convert_resnetv2_block(sd: dict, prefix: str) -> dict:
+    """timm non-preact ResNetV2 Bottleneck (the ViT-hybrid variant)."""
     g = lambda k: sd[prefix + k]
     out = {}
     for i in (1, 2, 3):
@@ -148,8 +149,10 @@ def convert_resnetv2_block(sd: dict, prefix: str) -> dict:
         out[f'norm{i}'] = {'GroupNorm_0': t_norm(g(f'norm{i}.weight'),
                                                  g(f'norm{i}.bias'))}
     if prefix + 'downsample.conv.weight' in sd:
-        out['downsample'] = {'kernel': np.asarray(
+        out['downsample_conv'] = {'kernel': np.asarray(
             g('downsample.conv.weight')).transpose(2, 3, 1, 0)}
+        out['downsample_norm'] = {'GroupNorm_0': t_norm(
+            g('downsample.norm.weight'), g('downsample.norm.bias'))}
     return out
 
 
