@@ -58,6 +58,8 @@ def main():
     ap.add_argument('--worlds', type=int, default=128)
     ap.add_argument('--eval-every', type=int, default=500)
     ap.add_argument('--lr', type=float, default=2.5e-4)
+    ap.add_argument('--dtype', default='f32', choices=['f32', 'bf16'],
+                    help='compute dtype (params/optimizer stay f32)')
     ap.add_argument('--out', default='docs/capability_demo.png')
     args = ap.parse_args()
 
@@ -65,12 +67,10 @@ def main():
     worlds = [load_world(s) for s in range(args.worlds)]
     held_out = jax.tree.map(jnp.asarray, load_world(100003))
 
-    # f32 compute: bf16 training of this config destabilizes late in the
-    # run (loss explodes near lr->0 with Adam betas (0.99, 0.999) — the
-    # round-1 demo also ran f32; bf16 stays the EVAL speed configuration).
     model = CrossAttentionRenderer(
         n_view=2, npoints=32, fusion_features=128, vit_width=256,
-        vit_depth=4, vit_heads=8, resnet_layers=(2, 2, 2))
+        vit_depth=4, vit_heads=8, resnet_layers=(2, 2, 2),
+        dtype=jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32)
     # lr 5e-4 diverges around step ~2k on this workload even with plain
     # cosine decay; warmup + a 2.5e-4 peak is stable for the full run.
     import optax
@@ -108,7 +108,8 @@ def main():
                 best_params = jax.tree.map(np.asarray, state.params)
             rate = i / (time.perf_counter() - t0)
             print(f'step {i}: loss {float(metrics["total_loss"]):.4f}  '
-                  f'eval {p:.1f} dB  ({rate:.1f} steps/s)')
+                  f'gnorm {float(metrics["grad_norm"]):.3e}  '
+                  f'eval {p:.1f} dB  ({rate:.1f} steps/s)', flush=True)
 
     p, pred = eval_psnr(state.params)
     if p > best:
