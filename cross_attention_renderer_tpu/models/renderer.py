@@ -108,9 +108,12 @@ class CrossAttentionRenderer(nn.Module):
     reference_exchange_compat: bool = False
     no_high_freq: bool = False    # zero the full-res conv branch
     repeat_attention: bool = True
-    # Use the fused Pallas joint-softmax attention kernel (TPU); the jnp
-    # reference path is algebraically identical and used for gradients.
-    fused_attention: bool = False
+    # Use the fused Pallas joint-softmax attention kernel; the jnp reference
+    # path is algebraically identical and used for gradients. None = auto:
+    # ON on TPU — with the f32-logit/softmax policy (round-3 bf16 fix) the
+    # kernel does that math in VMEM for free and beats the XLA path
+    # (457.9 vs 475.5 ms per full image); on CPU the jnp path runs.
+    fused_attention: Optional[bool] = None
     # Run both pyramid gathers on a row-sorted sample stream (Pallas windowed
     # gather, ops/sorted_gather.py) instead of XLA row-take. None = auto:
     # enabled on TPU for eval-scale ray counts on the multi-view latent-
@@ -458,7 +461,11 @@ class CrossAttentionRenderer(nn.Module):
         Dispatches to the fused Pallas kernel or the jnp reference."""
         from cross_attention_renderer_tpu.ops.epipolar_attention import (
             epipolar_attention, epipolar_attention_reference)
-        fn = (epipolar_attention if self.fused_attention
+        use_fused = self.fused_attention
+        if use_fused is None:
+            use_fused = (jax.default_backend() in ('tpu', 'axon')
+                         and not self.is_initializing())
+        fn = (epipolar_attention if use_fused
               else epipolar_attention_reference)
         return fn(query_embed, key_embed, values)
 

@@ -42,12 +42,28 @@ _RAY_BLOCK = 64
 
 def epipolar_attention_reference(query: Array, key: Array, value: Array
                                  ) -> tuple[Array, Array]:
-    """Pure-jnp reference (and backward path)."""
+    """Pure-jnp reference (and backward path).
+
+    Logits and softmax run in f32 regardless of the compute dtype (the
+    standard mixed-precision policy): in bf16 the 128-wide q.k dot and the
+    joint softmax lose enough mantissa that, once training sharpens the
+    attention, the gradient noise destabilizes the run — the round-2
+    "bf16 explodes late in training" failure reproduced at step ~3.6k of
+    the capability config and bisected to exactly this stage."""
     B, V, R, P, _ = query.shape
-    dots = jnp.sum(query * key, axis=-1) * ATTN_SCALE       # (B,V,R,P)
+    # Mixed-precision split, validated by the round-3 bf16 bisect: the
+    # LOGITS (128-wide q.k accumulation) and the softmax run in f32 — in
+    # bf16 their quantization noise destabilizes training once attention
+    # sharpens (capability config explodes at ~step 3.6k; f32 here trains
+    # 6k steps clean). The value reduction is a convex combination with
+    # weights <= 1 and stays in the compute dtype: forcing IT to f32 makes
+    # XLA materialize f32 copies of the (M, 288) latents (~8 ms/block)
+    # for no observed stability benefit.
+    dots = jnp.einsum('bvrpd,bvrpd->bvrp', query.astype(jnp.float32),
+                      key.astype(jnp.float32)) * ATTN_SCALE
     flat = dots.transpose(0, 2, 1, 3).reshape(B, R, V * P)
     wt = jax.nn.softmax(flat, axis=-1)
-    at_wt = wt.reshape(B, R, V, P).transpose(0, 2, 1, 3)
+    at_wt = wt.reshape(B, R, V, P).transpose(0, 2, 1, 3).astype(value.dtype)
     z = jnp.einsum('bvrp,bvrpc->brc', at_wt, value)
     return z, at_wt
 
@@ -61,7 +77,10 @@ def _attention_kernel(q_ref, k_ref, v_ref, out_ref, wt_ref):
     q = q_ref[0]
     k = k_ref[0]
     V, Rb, P, D = q.shape
-    dots = jnp.sum(q * k, axis=-1) * ATTN_SCALE              # (V, Rb, P)
+    # bf16 products, f32-accumulated dot + f32 softmax (the mixed-precision
+    # policy of the jnp reference).
+    prod = (q * k).astype(jnp.float32)
+    dots = jnp.sum(prod, axis=-1) * ATTN_SCALE               # (V, Rb, P)
     # joint softmax over (V, P) without reshuffling the layout: reduce over
     # both the view axis (leading) and the sample axis (trailing).
     m = jnp.max(jnp.max(dots, axis=2, keepdims=True), axis=0, keepdims=True)
@@ -69,9 +88,11 @@ def _attention_kernel(q_ref, k_ref, v_ref, out_ref, wt_ref):
     denom = jnp.sum(jnp.sum(e, axis=2, keepdims=True), axis=0,
                     keepdims=True)
     wt = e / denom                                           # (V, Rb, P)
-    wt_ref[0] = wt
     v = v_ref[0]                                             # (V, Rb, P, C)
-    out_ref[0] = jnp.sum(wt[..., None] * v, axis=(0, 2))     # (Rb, C)
+    wt_ref[0] = wt.astype(wt_ref.dtype)
+    acc = jnp.sum(wt.astype(v.dtype)[..., None].astype(jnp.float32)
+                  * v.astype(jnp.float32), axis=(0, 2))
+    out_ref[0] = acc.astype(out_ref.dtype)                   # (Rb, C)
 
 
 def _forward_pallas(query: Array, key: Array, value: Array

@@ -174,3 +174,26 @@ def test_augment_on_prenormalized_floats_matches_uint8():
     np.testing.assert_allclose(a_f, a_u, atol=2.0 / 127.5)
     np.testing.assert_allclose(intr_f, intr_u)
     np.testing.assert_allclose(c2w_f, c2w_u)
+
+
+@pytest.mark.slow
+def test_iterator_sustains_training_rate(dataset_dir):
+    """The prefetched on-disk pipeline must outpace the training step.
+
+    The flagship bf16 train step consumes 12 scenes / ~300 ms ≈ 40
+    scenes/s; the measured pipeline rate on a 2.5 GB corpus is ~140
+    scenes/s on one core (BENCH_NOTES round 3). This regression gate uses
+    a conservative floor that still catches an order-of-magnitude
+    pipeline regression on the tiny test corpus."""
+    import time
+    img_root, pose_root = dataset_dir
+    ds = re_data.RealEstate10k(img_root, pose_root, num_ctxt_views=2,
+                               query_sparsity=192, augment=True, seed=0)
+    it = re_data.batch_iterator(ds, 2, seed=0, num_workers=2)
+    next(it)                                  # warm the prefetch pipeline
+    n_batches = 40
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        next(it)
+    rate = n_batches * 2 / (time.perf_counter() - t0)
+    assert rate > 25.0, f'iterator only {rate:.1f} scenes/s'
