@@ -27,8 +27,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument('--no_latent_concat', action='store_true')
     p.add_argument('--no_multiview', action='store_true')
     p.add_argument('--no_high_freq', action='store_true')
-    p.add_argument('--fused_attention', action='store_true',
-                   help='Pallas fused epipolar attention (TPU)')
+    # tri-state: unset -> model auto (Pallas kernel on TPU, jnp elsewhere)
+    p.add_argument('--fused_attention', action='store_true', default=None,
+                   help='force the Pallas fused epipolar attention on')
+    p.add_argument('--no_fused_attention', dest='fused_attention',
+                   action='store_false', help='force the jnp attention path')
     # encoder size knobs (defaults = reference config; smaller for smoke runs)
     p.add_argument('--fusion_features', type=int, default=256)
     p.add_argument('--vit_width', type=int, default=768)

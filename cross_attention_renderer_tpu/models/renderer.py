@@ -189,12 +189,18 @@ class CrossAttentionRenderer(nn.Module):
         # so the fused epilogue kernel can read .kernel/.bias.
         self.key_map_2 = SplitDense(HIDDEN_DIM, d_in=HIDDEN_DIM,
                                     dtype=self.dtype)
-        self.query_embed = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
-        self.query_embed_2 = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
-        self.encode_latent = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
+        # single-segment SplitDense == nn.Dense (same params); setup-style
+        # so the fused render kernel can read .kernel/.bias.
+        self.query_embed = SplitDense(HIDDEN_DIM, d_in=QUERY_FEAT_DIM,
+                                      dtype=self.dtype)
+        self.query_embed_2 = SplitDense(HIDDEN_DIM, d_in=HIDDEN_DIM,
+                                        dtype=self.dtype)
+        self.encode_latent = SplitDense(HIDDEN_DIM, d_in=ld,
+                                        dtype=self.dtype)
         self.query_repeat_embed = SplitDense(
             HIDDEN_DIM, d_in=HIDDEN_DIM + QUERY_FEAT_DIM, dtype=self.dtype)
-        self.query_repeat_embed_2 = nn.Dense(HIDDEN_DIM, dtype=self.dtype)
+        self.query_repeat_embed_2 = SplitDense(HIDDEN_DIM, d_in=HIDDEN_DIM,
+                                               dtype=self.dtype)
         self.phi = ResnetFC(d_in=self.n_view * 9,
                             d_latent=ld * self.n_view,
                             d_out=3, n_blocks=3, d_hidden=128,
@@ -305,7 +311,11 @@ class CrossAttentionRenderer(nn.Module):
             # many blocks per scene (the scan renderer) pass z_packed so
             # the build happens once per image instead of once per block
             zp = tuple(z_packed) if z_packed is not None else pack_pyramid(z)
-            if self._use_fused_epilogue():
+            if self._use_fused_render(R):
+                # Defer to the fully-fused render core (called after
+                # local_coords is assembled, below).
+                joint_latent = key_val = None
+            elif self._use_fused_epilogue():
                 # Production TPU path: raw packed-cell takes feed ONE Pallas
                 # kernel fusing combine + exchange MLPs + latent/key
                 # projections (ops/gather_epilogue.py).
@@ -395,31 +405,46 @@ class CrossAttentionRenderer(nn.Module):
         local_coords = jnp.concatenate(
             [cam_rays, jnp.zeros_like(q_orig_e), ray_dir_e, depth_encode,
              q_orig_e], axis=-1)                           # (B,V,R,P,16)
-        coords_embed = _mlp2(local_coords, self.query_embed,
-                             self.query_embed_2)
 
-        # Round-1 joint attention over (view, sample) (models.py:532-541).
-        z_sum, at_wt = self._attend(coords_embed, key_val, joint_latent)
-        z_local = jnp.broadcast_to(z_sum[:, None], joint_latent.shape[:3]
-                                   + (joint_latent.shape[-1],))
-
-        # Round 2: query conditioned on the round-1 latent (models.py:547-565).
-        if self.repeat_attention:
-            z_embed = self.encode_latent(z_local)          # (B,V,R,128)
-            z_embed_local = jnp.broadcast_to(
-                z_embed[:, :, :, None, :],
-                z_embed.shape[:3] + (P, HIDDEN_DIM))
-            query_embed_local = self.query_repeat_embed_2(nn.relu(
-                self.query_repeat_embed(
-                    z_embed_local, local_coords.astype(self.dtype))))
-            z_sum2, _ = self._attend(query_embed_local, coords_embed,
-                                     joint_latent)
-            # (sum_v of z2 + V * z_sum) broadcast back — identical to the
-            # reference's per-view add then cross-view sum
-            # (models.py:561-565) since round-1 z_local is already the
-            # view-broadcast sum.
+        if joint_latent is None:
+            # Fully-fused render core: takes -> exchange -> both attention
+            # rounds in ONE Pallas kernel (ops/fused_render.py); deferred to
+            # here because local_coords is a kernel input.
+            with jax.named_scope('fused_render_v2'):
+                z_final, at_wt = self._fused_render_v2(
+                    zp, pixel_val, pt_views, ctx_c2w, ctx['intrinsics'],
+                    H, W, local_coords)
             z_local = jnp.broadcast_to(
-                (z_sum2 + V * z_sum)[:, None], z_local.shape)
+                z_final[:, None], (B, V, R, z_final.shape[-1]))
+        else:
+            coords_embed = _mlp2(local_coords, self.query_embed,
+                                 self.query_embed_2)
+
+            # Round-1 joint attention over (view, sample)
+            # (models.py:532-541).
+            z_sum, at_wt = self._attend(coords_embed, key_val, joint_latent)
+            z_local = jnp.broadcast_to(z_sum[:, None],
+                                       joint_latent.shape[:3]
+                                       + (joint_latent.shape[-1],))
+
+            # Round 2: query conditioned on the round-1 latent
+            # (models.py:547-565).
+            if self.repeat_attention:
+                z_embed = self.encode_latent(z_local)      # (B,V,R,128)
+                z_embed_local = jnp.broadcast_to(
+                    z_embed[:, :, :, None, :],
+                    z_embed.shape[:3] + (P, HIDDEN_DIM))
+                query_embed_local = self.query_repeat_embed_2(nn.relu(
+                    self.query_repeat_embed(
+                        z_embed_local, local_coords.astype(self.dtype))))
+                z_sum2, _ = self._attend(query_embed_local, coords_embed,
+                                         joint_latent)
+                # (sum_v of z2 + V * z_sum) broadcast back — identical to
+                # the reference's per-view add then cross-view sum
+                # (models.py:561-565) since round-1 z_local is already the
+                # view-broadcast sum.
+                z_local = jnp.broadcast_to(
+                    (z_sum2 + V * z_sum)[:, None], z_local.shape)
 
         # Attention-derived depth, round-1 weights (models.py:573-594).
         pt_clamp = jnp.clip(pt_views, -100.0, 100.0)
@@ -495,26 +520,33 @@ class CrossAttentionRenderer(nn.Module):
         return (jax.default_backend() in ('tpu', 'axon')
                 and not self.is_initializing())
 
-    def _fused_exchange_v2(self, zp: tuple, pixel_val: Array,
-                           pt_views: Array, ctx_c2w: Array, ctx_intr: Array,
-                           H: int, W: int) -> tuple[Array, Array]:
-        """V=2 exchange through the fused gather epilogue.
+    def _use_fused_render(self, R: int) -> bool:
+        """Static choice of the fully-fused render core (TPU only).
 
-        Same math as the unfused branch (grid_sample_pyramid_packed +
-        :meth:`_latent_exchange_parts` + ``latent_value`` / ``key_map`` /
-        ``key_map_2``; reference models.py:278-346,491,529): XLA performs
-        only the address math and the row-takes; one Pallas kernel does the
-        bilinear combine, both fuse-MLP streams, the per-view channel
-        ordering, and the attention input projections without touching HBM
-        in between. Returns (joint_latent, key_val) as (B, V, R, P, ·).
-        """
-        from cross_attention_renderer_tpu.ops.gather_epilogue import (
-            fused_exchange_epilogue)
+        Requires the repeat-attention wiring or plain round-1 (both
+        supported) and a ray count divisible by the kernel's ray block.
+        ``CAR_FUSED_RENDER=0`` forces the staged (epilogue + XLA
+        attention) path."""
+        import os
+        from cross_attention_renderer_tpu.ops import fused_render as FR
+        if os.environ.get('CAR_FUSED_RENDER', '0').lower() in ('', '0',
+                                                               'false'):
+            return False
+        return (jax.default_backend() in ('tpu', 'axon')
+                and not self.is_initializing()
+                and R % FR.RAY_BLOCK == 0)
+
+    def _stacked_takes(self, zp: tuple, pixel_val: Array, pt_views: Array,
+                       ctx_c2w: Array, ctx_intr: Array, H: int, W: int):
+        """Address math + ONE stacked row-take per level for both streams.
+
+        Returns (vals_b: per-level (2M, 4C) [self rows | cross rows],
+        aux_self, aux_cross: (M, 16) model dtype). See
+        :meth:`_fused_exchange_v2` for why the streams stack."""
         from cross_attention_renderer_tpu.ops.grid_sample import (
             cell_rows_and_slot_weights)
         B, V, R, P, _ = pt_views.shape
         M = B * V * R * P
-        ld = self.latent_dim
 
         pt_in = self._exchange_points(pt_views, ctx_c2w)   # (B,K,V,R,P,3)
         pt_self = jnp.stack([pt_in[:, v, v] for v in range(2)], axis=1)
@@ -568,6 +600,27 @@ class CrossAttentionRenderer(nn.Module):
         w_c = [w.astype(adt) for w in w_c]
         aux_self = jnp.concatenate(w_s + [t_self, pad], axis=-1)
         aux_cross = jnp.concatenate(w_c + [t_cross, pad], axis=-1)
+        return tuple(vals_b), aux_self, aux_cross
+
+    def _fused_exchange_v2(self, zp: tuple, pixel_val: Array,
+                           pt_views: Array, ctx_c2w: Array, ctx_intr: Array,
+                           H: int, W: int) -> tuple[Array, Array]:
+        """V=2 exchange through the fused gather epilogue.
+
+        Same math as the unfused branch (grid_sample_pyramid_packed +
+        :meth:`_latent_exchange_parts` + ``latent_value`` / ``key_map`` /
+        ``key_map_2``; reference models.py:278-346,491,529): XLA performs
+        only the address math and the row-takes; one Pallas kernel does the
+        bilinear combine, both fuse-MLP streams, the per-view channel
+        ordering, and the attention input projections without touching HBM
+        in between. Returns (joint_latent, key_val) as (B, V, R, P, ·).
+        """
+        from cross_attention_renderer_tpu.ops.gather_epilogue import (
+            fused_exchange_epilogue)
+        B, V, R, P, _ = pt_views.shape
+        ld = self.latent_dim
+        vals_b, aux_self, aux_cross = self._stacked_takes(
+            zp, pixel_val, pt_views, ctx_c2w, ctx_intr, H, W)
 
         params = (self.query_encode_latent.kernel,
                   self.query_encode_latent.bias,
@@ -578,9 +631,61 @@ class CrossAttentionRenderer(nn.Module):
                   self.key_map_2.kernel, self.key_map_2.bias)
         params = jax.tree.map(lambda a: a.astype(self.dtype), params)
         jl, kv = fused_exchange_epilogue(
-            tuple(vals_b), aux_self, aux_cross, params, R * P)
+            vals_b, aux_self, aux_cross, params, R * P)
         return (jl.reshape(B, V, R, P, ld),
                 kv.reshape(B, V, R, P, HIDDEN_DIM))
+
+    def _fused_render_v2(self, zp: tuple, pixel_val: Array,
+                         pt_views: Array, ctx_c2w: Array, ctx_intr: Array,
+                         H: int, W: int, local_coords: Array
+                         ) -> tuple[Array, Array]:
+        """V=2 takes -> exchange -> both attention rounds, one kernel.
+
+        Everything :meth:`_fused_exchange_v2` fuses PLUS the query-embed
+        MLP, the round-1 joint (view, sample) softmax and, when
+        ``repeat_attention``, the encode_latent / repeat-query MLPs and
+        the round-2 attention (reference models.py:278-565) — per-sample
+        latents never touch HBM. Returns (z_final (B, R, ld),
+        at_wt (B, V, R, P))."""
+        from cross_attention_renderer_tpu.ops.fused_render import (
+            fused_render_core)
+        B, V, R, P, _ = pt_views.shape
+        M = B * V * R * P
+        vals_b, aux_self, aux_cross = self._stacked_takes(
+            zp, pixel_val, pt_views, ctx_c2w, ctx_intr, H, W)
+        channels = tuple(v.shape[-1] // 4 for v in vals_b)
+
+        ld = self.latent_dim
+        if self.repeat_attention:
+            round2 = (self.encode_latent.kernel, self.encode_latent.bias,
+                      self.query_repeat_embed.kernel,
+                      self.query_repeat_embed.bias,
+                      self.query_repeat_embed_2.kernel,
+                      self.query_repeat_embed_2.bias)
+        else:
+            # round-2 modules are never initialized without repeat
+            # attention; the kernel ignores these operands.
+            round2 = (jnp.zeros((ld, HIDDEN_DIM)), jnp.zeros((HIDDEN_DIM,)),
+                      jnp.zeros((HIDDEN_DIM + QUERY_FEAT_DIM, HIDDEN_DIM)),
+                      jnp.zeros((HIDDEN_DIM,)),
+                      jnp.zeros((HIDDEN_DIM, HIDDEN_DIM)),
+                      jnp.zeros((HIDDEN_DIM,)))
+        params = (self.query_encode_latent.kernel,
+                  self.query_encode_latent.bias,
+                  self.query_encode_latent_2.kernel,
+                  self.query_encode_latent_2.bias,
+                  self.latent_value.kernel, self.latent_value.bias,
+                  self.key_map.kernel, self.key_map.bias,
+                  self.key_map_2.kernel, self.key_map_2.bias,
+                  self.query_embed.kernel, self.query_embed.bias,
+                  self.query_embed_2.kernel, self.query_embed_2.bias,
+                  *round2)
+        params = jax.tree.map(lambda a: a.astype(self.dtype), params)
+        lc = local_coords.reshape(M, QUERY_FEAT_DIM).astype(self.dtype)
+        z_final, at_wt = fused_render_core(
+            vals_b, aux_self, aux_cross, lc, params, channels, B, R, P,
+            bool(self.repeat_attention))
+        return z_final, at_wt
 
     def _fuse_latent(self, feats, points: Array, detach: bool) -> Array:
         """Shared 2-layer exchange encoder (models.py:335-346).
