@@ -39,7 +39,35 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument('--vit_heads', type=int, default=12)
     p.add_argument('--resnet_layers', type=int, nargs=3, default=(3, 4, 9))
     p.add_argument('--npoints', type=int, default=0)
+    # fast-eval levers (eval/traj only; outputs differ from the reference
+    # protocol — see BENCH_NOTES.md roofline and train/evaluation.py)
+    p.add_argument('--pruned', type=str, default=None, metavar='C,F',
+                   help='coarse-to-fine fast-eval sampling: C coarse + F '
+                        'attention-guided fine samples instead of the '
+                        'uniform npoints grid')
+    p.add_argument('--narrow', type=str, default=None, metavar='K1,K2,K3',
+                   help='per-scene PCA narrowing of the gathered feature '
+                        'pyramid to these per-level widths')
+    p.add_argument('--q8', action='store_true',
+                   help='int8 gather tables (per-channel scales folded '
+                        'into the fuse kernel)')
     return p
+
+
+def parse_pruned(opt):
+    """'C,F' -> (int, int) or None (shared by eval / render_traj)."""
+    if not getattr(opt, 'pruned', None):
+        return None
+    c, f = (int(x) for x in opt.pruned.split(','))
+    return (c, f)
+
+
+def fast_eval_kwargs(opt) -> dict:
+    """--pruned/--narrow/--q8 -> make_image_renderer kwargs."""
+    narrow = (tuple(int(x) for x in opt.narrow.split(','))
+              if getattr(opt, 'narrow', None) else None)
+    return dict(pruned=parse_pruned(opt), narrow=narrow,
+                q8=bool(getattr(opt, 'q8', False)))
 
 
 class FrameWriter:

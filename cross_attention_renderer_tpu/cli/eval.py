@@ -13,7 +13,8 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from cross_attention_renderer_tpu.cli.common import base_parser, build_model
+from cross_attention_renderer_tpu.cli.common import (
+    base_parser, build_model, fast_eval_kwargs)
 from cross_attention_renderer_tpu.data.realestate import RealEstate10kVis
 from cross_attention_renderer_tpu.train import (
     TrainConfig, create_train_state, restore_checkpoint)
@@ -53,7 +54,8 @@ def main(argv=None):
     except Exception as e:
         print(f'LPIPS disabled ({e})')
 
-    renderer = make_image_renderer(model, params, opt.n_chunks)
+    renderer = make_image_renderer(model, params, opt.n_chunks,
+                                   **fast_eval_kwargs(opt))
     out_dir = Path(opt.logging_root) / opt.experiment_name
     out_dir.mkdir(parents=True, exist_ok=True)
 

@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 from cross_attention_renderer_tpu.cli.common import (FrameWriter,
-    base_parser, build_model)
+    base_parser, build_model, fast_eval_kwargs)
 from cross_attention_renderer_tpu.data.realestate import trajectory_scene
 from cross_attention_renderer_tpu.train import (
     TrainConfig, create_train_state, restore_checkpoint)
@@ -60,7 +60,8 @@ def main(argv=None):
     params = state.params
 
     n_chunks = max(1, (H * W) // opt.ray_chunk)
-    encode, render_image = make_image_renderer(model, params, n_chunks)
+    encode, render_image = make_image_renderer(model, params, n_chunks,
+                                               **fast_eval_kwargs(opt))
     z = encode(scene0)
 
     writer = FrameWriter(opt.out, fps=10)

@@ -119,6 +119,15 @@ class CrossAttentionRenderer(nn.Module):
     # enabled on TPU for eval-scale ray counts on the multi-view latent-
     # concat path. Numerically equivalent (same bilinear sum, bf16 tables).
     sorted_stream: Optional[bool] = None
+    # Per-level gathered-feature widths after a PCA projection of the
+    # encoder pyramid (the narrow fast-eval mode, train/evaluation.py
+    # make_narrow_renderer): only the fuse layer's input rows change —
+    # the scene-specific basis is folded into query_encode_latent's
+    # kernel, so every other layer (and all fused kernels, which are
+    # channel-width generic) is untouched. None = full widths. No
+    # reference counterpart (its gathers are always full-width,
+    # models.py:278).
+    narrow_features: Optional[tuple[int, int, int]] = None
     # Encoder size knobs (reference config = defaults). Smaller settings keep
     # the architecture identical for fast CPU tests.
     fusion_features: int = 256
@@ -174,8 +183,10 @@ class CrossAttentionRenderer(nn.Module):
         # channels of interp_val feeding latent_value / key_map
         d_interp = ld * self.n_view if multiview else self.base_latent_dim
         if multiview:
+            d_feat = (sum(self.narrow_features) if self.narrow_features
+                      else self.base_latent_dim)
             self.query_encode_latent = SplitDense(
-                self.base_latent_dim, d_in=self.base_latent_dim + 3,
+                self.base_latent_dim, d_in=d_feat + 3,
                 dtype=self.dtype)
             self.query_encode_latent_2 = SplitDense(
                 ld, d_in=self.base_latent_dim, dtype=self.dtype)
@@ -235,11 +246,17 @@ class CrossAttentionRenderer(nn.Module):
     # ------------------------------------------------------------------
     def __call__(self, scene: dict,
                  z: Optional[Sequence[Array]] = None,
-                 z_packed: Optional[Sequence[Array]] = None) -> dict:
+                 z_packed: Optional[Sequence[Array]] = None,
+                 t_vals: Optional[Array] = None) -> dict:
         ctx, qry = scene['context'], scene['query']
         B, V, H, W, _ = ctx['rgb'].shape
         R = qry['uv'].shape[2]
-        P = self.n_samples
+        # ``t_vals`` (B, V, R, P) overrides the uniform epipolar-segment
+        # parametrization with per-ray sample positions in [0, 1] — the
+        # coarse-to-fine pruned-eval path (train/evaluation.py
+        # make_pruned_renderer) places its fine samples with it. The
+        # reference has no counterpart (models.py:231 is always uniform).
+        P = t_vals.shape[-1] if t_vals is not None else self.n_samples
         out: dict = {}
 
         if z is None:
@@ -267,6 +284,10 @@ class CrossAttentionRenderer(nn.Module):
         ray_dir = lf_coords[..., :3]
 
         if self.no_sample:
+            if t_vals is not None:
+                raise ValueError('t_vals is not supported with no_sample '
+                                 '(uniform-depth ablation has no segment '
+                                 'parametrization)')
             start, end, valid, pixel_val = G.volumetric_epipolar_lines(
                 lf_coords.reshape(B, V, R, 6), query_cam2world,
                 ctx['intrinsics'], H, W, P)
@@ -280,10 +301,16 @@ class CrossAttentionRenderer(nn.Module):
             intr_norm = ctx_intr.at[:, :2, :].set(ctx_intr[:, :2, :] / H)
             start, end, valid = G.epipolar_segments_ndc(
                 origins, ray_dir, intr_norm)
-            interval = jnp.linspace(0.0, 1.0, P, dtype=start.dtype)
-            pixel_val = (start[..., None, :]
-                         + (end - start)[..., None, :]
-                         * interval[:, None])              # (B*V, R, P, 2)
+            if t_vals is not None:
+                interval = t_vals.reshape(B * V, R, P).astype(start.dtype)
+                pixel_val = (start[..., None, :]
+                             + (end - start)[..., None, :]
+                             * interval[..., None])        # (B*V, R, P, 2)
+            else:
+                interval = jnp.linspace(0.0, 1.0, P, dtype=start.dtype)
+                pixel_val = (start[..., None, :]
+                             + (end - start)[..., None, :]
+                             * interval[:, None])          # (B*V, R, P, 2)
 
         # 3D point on the query ray per epipolar sample (context frame),
         # shared by the latent exchange and the depth head (models.py:283,503).

@@ -53,16 +53,26 @@ def _on_tpu() -> bool:
 # ---------------------------------------------------------------------------
 
 def _combine(v, aux, lo, C):
+    # int8 tables (quantized fast-eval mode) combine in the aux dtype;
+    # float tables keep their own dtype (round-3 measured behavior).
+    cdt = (v.dtype if jnp.issubdtype(v.dtype, jnp.floating) else aux.dtype)
     acc = None
     for k in range(4):
-        t = (jax.lax.slice_in_dim(v, k * C, (k + 1) * C, axis=-1)
-             * aux[..., lo + k:lo + k + 1].astype(v.dtype))
+        t = (jax.lax.slice_in_dim(v, k * C, (k + 1) * C, axis=-1).astype(cdt)
+             * aux[..., lo + k:lo + k + 1].astype(cdt))
         acc = t if acc is None else acc + t
     return acc
 
 
+def _float_dtype(vals0, aux):
+    dt = vals0.dtype
+    if not jnp.issubdtype(dt, jnp.floating):
+        dt = aux.dtype                         # int8 tables: model dtype
+    return dt
+
+
 def _fuse_stream(vals, aux, w1, b1, w2, b2, channels):
-    dt = vals[0].dtype
+    dt = _float_dtype(vals[0], aux)
     offs = [sum(channels[:i]) for i in range(len(channels) + 1)]
     F = offs[-1]
     h = None
@@ -85,7 +95,7 @@ def _reference(vals_both, aux_self, aux_cross, local_coords, params,
     """jnp mirror. vals_both: per-level (2M, 4C); aux/local: (M, 16)."""
     (w1, b1, w2, b2, lv, lvb, km, kmb, k2, k2b,
      qe1, qe1b, qe2, qe2b, el, elb, qr1, qr1b, qr2, qr2b) = params
-    dt = vals_both[0].dtype
+    dt = _float_dtype(vals_both[0], aux_self)
     M = B * 2 * R * P
     O = w2.shape[1]
 
@@ -164,6 +174,8 @@ def _make_kernel(channels, P, rb, repeat):
          qr2_r, qr2b_r) = take(20)
         z_out, wt_out = take(2)
         dt = vs[0][0].dtype
+        if not jnp.issubdtype(dt, jnp.floating):
+            dt = w2_r.dtype                    # int8 tables: weights dtype
         O = w2_r.shape[1]
         S = rb * P
 
@@ -172,6 +184,8 @@ def _make_kernel(channels, P, rb, repeat):
             h = None
             for l in range(n_lvl):
                 v = v_refs[l][:]
+                if v.dtype != dt:
+                    v = v.astype(dt)           # int8 tables
                 C = channels[l]
                 comb = None
                 for k in range(4):
@@ -275,7 +289,7 @@ def _make_kernel(channels, P, rb, repeat):
 
 def _pallas_forward(vals_both, aux_self, aux_cross, local_coords, params,
                     channels, B, R, P, repeat, interpret=False):
-    dt = vals_both[0].dtype
+    dt = _float_dtype(vals_both[0], aux_self)
     rb = RAY_BLOCK
     M = B * 2 * R * P
     S = rb * P

@@ -52,22 +52,35 @@ def _on_tpu() -> bool:
 # ---------------------------------------------------------------------------
 
 def _combine(vals: Sequence[Array], aux: Array) -> Array:
-    """Bilinear combine of per-level packed rows with aux slot weights."""
+    """Bilinear combine of per-level packed rows with aux slot weights.
+
+    int8 rows (quantized tables) combine in the aux dtype; float rows keep
+    their own dtype (the round-2 measured behavior)."""
     parts = []
     for l, v in enumerate(vals):
+        cdt = (v.dtype if jnp.issubdtype(v.dtype, jnp.floating)
+               else aux.dtype)
         C = v.shape[-1] // 4
         acc = None
         for k in range(4):
-            term = (jax.lax.slice_in_dim(v, k * C, (k + 1) * C, axis=1)
-                    * aux[:, l * 4 + k:l * 4 + k + 1].astype(v.dtype))
+            term = (jax.lax.slice_in_dim(v, k * C, (k + 1) * C,
+                                         axis=1).astype(cdt)
+                    * aux[:, l * 4 + k:l * 4 + k + 1].astype(cdt))
             acc = term if acc is None else acc + term
         parts.append(acc)
     return jnp.concatenate(parts, axis=-1)
 
 
+def _compute_dtype(vals_both, aux):
+    dt = vals_both[0].dtype
+    if not jnp.issubdtype(dt, jnp.floating):
+        dt = aux.dtype                         # int8 tables: model dtype
+    return dt
+
+
 def _reference(vals_both, aux_self, aux_cross, params, rp):
     (w1, b1, w2, b2, lv, lv_bias, km, km_bias, k2, k2_bias) = params
-    dt = vals_both[0].dtype
+    dt = _compute_dtype(vals_both, aux_self)
     M = vals_both[0].shape[0] // 2
     vals_self = [jax.lax.slice_in_dim(v, 0, M, axis=0) for v in vals_both]
     vals_cross = [jax.lax.slice_in_dim(v, M, 2 * M, axis=0)
@@ -111,6 +124,8 @@ def _make_kernel(channels: tuple[int, ...], rp: int, block_m: int):
         (aux_s, aux_c, w1_ref, b1_ref, w2_ref, b2_ref, lv_ref, lvb_ref,
          km_ref, kmb_ref, k2_ref, k2b_ref, jl_ref, kv_ref) = refs[2 * n_lvl:]
         dt = vs[0].dtype
+        if not jnp.issubdtype(dt, jnp.floating):
+            dt = w2_ref.dtype                  # int8 tables: weights dtype
         O = w2_ref.shape[1]
 
         def fuse(v_refs, aux_ref):
@@ -120,6 +135,8 @@ def _make_kernel(channels: tuple[int, ...], rp: int, block_m: int):
             aux = aux_ref[:]
             for l in range(n_lvl):
                 v = v_refs[l][:]                               # (BM, 4C)
+                if v.dtype != dt:
+                    v = v.astype(dt)           # int8 tables: dequant-free
                 C = channels[l]
                 comb = None
                 for k in range(4):
@@ -169,7 +186,7 @@ def _pallas_forward(vals_both, aux_self, aux_cross, params, rp,
     (w1, b1, w2, b2, lv, lv_bias, km, km_bias, k2, k2_bias) = params
     channels = tuple(v.shape[-1] // 4 for v in vals_both)
     M = vals_both[0].shape[0] // 2
-    dt = vals_both[0].dtype
+    dt = _compute_dtype(vals_both, aux_self)
     F = sum(channels)
     H_ = w1.shape[1]
     O = w2.shape[1]

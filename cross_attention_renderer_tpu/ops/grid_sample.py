@@ -140,15 +140,21 @@ def grid_sample_packed(packed: Array, coords_ndc: Array,
     B, H, W, C4 = packed.shape
     C = C4 // 4
     N = coords_ndc.shape[1]
+    # int8 tables (the quantized fast-eval mode, train/evaluation.py
+    # quantize_pyramid) combine in f32; the dequant scale is folded into
+    # the fuse kernel downstream.
+    wdt = (packed.dtype if jnp.issubdtype(packed.dtype, jnp.floating)
+           else jnp.float32)
     cell, w_slot = cell_rows_and_slot_weights(
-        (H, W), coords_ndc, padding_mode, weight_dtype=packed.dtype)
+        (H, W), coords_ndc, padding_mode, weight_dtype=wdt)
     vals = jnp.take(packed.reshape(B * H * W, C4),
                     cell.reshape(-1), axis=0, mode='clip') # (B*N, 4C)
     M = B * N
     w_flat = w_slot.reshape(M, 4)
     out = None
     for k in range(4):
-        term = (jax.lax.slice_in_dim(vals, k * C, (k + 1) * C, axis=1)
+        term = (jax.lax.slice_in_dim(vals, k * C, (k + 1) * C,
+                                     axis=1).astype(wdt)
                 * w_flat[:, k:k + 1])
         out = term if out is None else out + term
     return out.reshape(B, N, C)

@@ -20,6 +20,16 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
+# Persistent XLA compilation cache: the suite is compile-dominated (tiny
+# shapes, heavy programs), so re-runs skip most of the ~30 min of CPU
+# compiles. Keyed on program HLO — source changes that alter a program
+# recompile exactly that program.
+_cache_dir = os.environ.get('CAR_TEST_COMPILE_CACHE',
+                            '/tmp/car_tpu_test_xla_cache')
+jax.config.update('jax_compilation_cache_dir', _cache_dir)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
 
 def pytest_sessionstart(session):
     assert jax.default_backend() == 'cpu', 'tests must not touch the TPU'

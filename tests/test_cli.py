@@ -79,3 +79,16 @@ def test_eval_cli_smoke(dataset, tmp_path, monkeypatch, capsys):
         '--max_scenes', '1', '--n_chunks', '4', *TINY_FLAGS])
     out = capsys.readouterr().out
     assert 'psnr=' in out and 'ssim=' in out
+
+
+def test_fast_eval_flags_parse():
+    from cross_attention_renderer_tpu.cli.common import (base_parser,
+                                                         fast_eval_kwargs)
+    p = base_parser('x')
+    opt = p.parse_args(['--pruned', '16,24', '--narrow', '128,128,64',
+                        '--q8'])
+    assert fast_eval_kwargs(opt) == {'pruned': (16, 24),
+                                     'narrow': (128, 128, 64), 'q8': True}
+    opt = p.parse_args([])
+    assert fast_eval_kwargs(opt) == {'pruned': None, 'narrow': None,
+                                     'q8': False}

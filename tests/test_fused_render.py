@@ -105,3 +105,26 @@ def test_renderer_path_matches_standard(monkeypatch, repeat):
     np.testing.assert_allclose(np.asarray(out_std['depth_ray']),
                                np.asarray(out_fused['depth_ray']),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_interpret_int8_tables_match_reference():
+    # int8 gather tables (quantized fast-eval mode): rows cast to the
+    # weights dtype in VMEM; mirror and kernel must agree.
+    vals_both, aux_s, aux_c, lc, params = _case(4)
+    vals_q = tuple(jnp.clip(jnp.round(v * 24.0), -127, 127).astype(jnp.int8)
+                   for v in vals_both)
+    z_ref, wt_ref = FR._reference(vals_q, aux_s, aux_c, lc, params,
+                                  CHANNELS, B, R, P, True)
+    assert z_ref.dtype == jnp.float32
+    old = FR.RAY_BLOCK
+    FR.RAY_BLOCK = 4
+    try:
+        z_p, wt_p = FR._pallas_forward(vals_q, aux_s, aux_c, lc, params,
+                                       CHANNELS, B, R, P, True,
+                                       interpret=True)
+    finally:
+        FR.RAY_BLOCK = old
+    np.testing.assert_allclose(np.asarray(z_ref), np.asarray(z_p),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(wt_ref), np.asarray(wt_p),
+                               atol=1e-5, rtol=1e-4)

@@ -114,3 +114,25 @@ def test_custom_vjp_matches_reference_grads():
     for a, b in zip(jax.tree.leaves(g_op), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-2, rtol=2e-3)
+
+
+def test_pallas_interpret_int8_tables_match_reference():
+    # int8 gather tables (quantized fast-eval mode): the kernel casts rows
+    # to the weights dtype in VMEM; reference and kernel must agree.
+    case = _random_case(3)
+    vals_both, aux_self, aux_cross, params = case
+    vals_q = tuple(jnp.clip(jnp.round(v * 16.0), -127, 127).astype(jnp.int8)
+                   for v in vals_both)
+    jl, kv = GE._reference(vals_q, aux_self, aux_cross, params, RP)
+    assert jl.dtype == jnp.float32          # compute dtype = aux dtype
+    old = GE.BLOCK_M
+    GE.BLOCK_M = RP
+    try:
+        jlp, kvp = GE._pallas_forward(vals_q, aux_self, aux_cross, params,
+                                      RP, interpret=True)
+    finally:
+        GE.BLOCK_M = old
+    np.testing.assert_allclose(np.asarray(jl), np.asarray(jlp),
+                               atol=2e-2, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(kv), np.asarray(kvp),
+                               atol=2e-2, rtol=2e-3)

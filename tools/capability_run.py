@@ -61,6 +61,9 @@ def main():
     ap.add_argument('--dtype', default='f32', choices=['f32', 'bf16'],
                     help='compute dtype (params/optimizer stay f32)')
     ap.add_argument('--out', default='docs/capability_demo.png')
+    ap.add_argument('--save', default=None, metavar='PATH.npz',
+                    help='save the best params (flattened npz) for reuse '
+                         'by tools/eval_pruned.py')
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -118,6 +121,11 @@ def main():
     best_params = jax.tree.map(jnp.asarray, best_params)
     p, pred = eval_psnr(best_params)   # demo from the best checkpoint
     print(f'final(best): {p:.1f} dB')
+
+    if args.save:
+        from cross_attention_renderer_tpu.utils.params_io import save_params
+        save_params(args.save, best_params)
+        print(f'saved best params to {args.save}')
 
     try:
         import imageio.v2 as imageio
