@@ -54,6 +54,24 @@ _TP_RULES: tuple[tuple[str, P], ...] = (
     (r'vit/block\d+/mlp_fc1/kernel', P(None, 'model')),
     (r'vit/block\d+/mlp_fc1/bias', P('model')),
     (r'vit/block\d+/mlp_fc2/kernel', P('model', None)),
+    # DPT fusion RCUs: conv1 column-parallel (output channels), conv2
+    # row-parallel (input channels) — the residual add after conv2's
+    # all-reduce stays replicated.
+    (r'refinenet\d+/rcu\d+/conv1/kernel', P(None, None, None, 'model')),
+    (r'refinenet\d+/rcu\d+/conv1/bias', P('model')),
+    (r'refinenet\d+/rcu\d+/conv2/kernel', P(None, None, 'model', None)),
+    # Exchange / attention-input projections (where the render-path FLOPs
+    # are): Megatron pairs around each relu.
+    (r'query_encode_latent/kernel', P(None, 'model')),
+    (r'query_encode_latent/bias', P('model')),
+    (r'query_encode_latent_2/kernel', P('model', None)),
+    (r'key_map/kernel', P(None, 'model')),
+    (r'key_map/bias', P('model')),
+    (r'key_map_2/kernel', P('model', None)),
+    # Light-field decoder residual blocks.
+    (r'phi/block\d+/fc_0/kernel', P(None, 'model')),
+    (r'phi/block\d+/fc_0/bias', P('model')),
+    (r'phi/block\d+/fc_1/kernel', P('model', None)),
 )
 
 
