@@ -25,6 +25,16 @@ H = W = 64
 BATCH = 8
 N_RAYS = 256
 
+# Model configs shared with tools/eval_pruned.py. 'medium' is the 8M TPU
+# demo (round-1 protocol); 'tiny' trains on host CPU in ~15 min for
+# fast-eval quality checks when the chip is unreachable.
+CONFIGS = {
+    'medium': dict(npoints=32, fusion_features=128, vit_width=256,
+                   vit_depth=4, vit_heads=8, resnet_layers=(2, 2, 2)),
+    'tiny': dict(npoints=16, fusion_features=32, vit_width=64,
+                 vit_depth=2, vit_heads=2, resnet_layers=(1, 1, 1)),
+}
+
 
 def load_world(seed):
     s = make_plane_scene(seed, n_view=2, H=H, W=W)     # full-image query
@@ -64,21 +74,33 @@ def main():
     ap.add_argument('--save', default=None, metavar='PATH.npz',
                     help='save the best params (flattened npz) for reuse '
                          'by tools/eval_pruned.py')
+    ap.add_argument('--config', default='medium',
+                    choices=['medium', 'tiny'],
+                    help='medium = the 8M TPU demo config; tiny = a '
+                         'CPU-trainable config for fast-eval quality '
+                         'checks when the chip is unavailable')
+    ap.add_argument('--platform', default='auto', choices=['auto', 'cpu'],
+                    help='cpu forces the host backend (the axon plugin '
+                         'ignores JAX_PLATFORMS; a down tunnel hangs '
+                         'device init)')
     args = ap.parse_args()
+    if args.platform == 'cpu':
+        jax.config.update('jax_platforms', 'cpu')
 
     rng = np.random.default_rng(0)
     worlds = [load_world(s) for s in range(args.worlds)]
     held_out = jax.tree.map(jnp.asarray, load_world(100003))
 
     model = CrossAttentionRenderer(
-        n_view=2, npoints=32, fusion_features=128, vit_width=256,
-        vit_depth=4, vit_heads=8, resnet_layers=(2, 2, 2),
+        n_view=2, **CONFIGS[args.config],
         dtype=jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32)
     # lr 5e-4 diverges around step ~2k on this workload even with plain
     # cosine decay; warmup + a 2.5e-4 peak is stable for the full run.
     import optax
+    warmup = min(300, max(1, args.steps // 10))
     cfg = TrainConfig(lr=optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, warmup_steps=300, decay_steps=args.steps))
+        0.0, args.lr, warmup_steps=warmup,
+        decay_steps=max(args.steps, warmup + 1)))
     scene0 = batch_scene(worlds, rng)
     state = create_train_state(model, scene0, cfg)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))

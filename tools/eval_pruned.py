@@ -57,18 +57,23 @@ def main():
                     help='number of unseen eval worlds')
     ap.add_argument('--dtype', default='bf16', choices=['f32', 'bf16'])
     ap.add_argument('--n-chunks', type=int, default=4)
+    ap.add_argument('--config', default='medium',
+                    choices=['medium', 'tiny'],
+                    help='must match the capability_run --config that '
+                         'produced --params')
+    ap.add_argument('--platform', default='auto', choices=['auto', 'cpu'])
     args = ap.parse_args()
+    if args.platform == 'cpu':
+        jax.config.update('jax_platforms', 'cpu')
     n_coarse, n_fine = (int(x) for x in args.pruned.split(','))
 
+    from tools.capability_run import CONFIGS
+    cfg = CONFIGS[args.config]
     params = load_params(args.params)
     model = CrossAttentionRenderer(
-        n_view=2, npoints=32, fusion_features=128, vit_width=256,
-        vit_depth=4, vit_heads=8, resnet_layers=(2, 2, 2),
+        n_view=2, **cfg,
         dtype=jnp.bfloat16 if args.dtype == 'bf16' else jnp.float32)
-    uniform_fine = CrossAttentionRenderer(
-        n_view=2, npoints=n_fine, fusion_features=128, vit_width=256,
-        vit_depth=4, vit_heads=8, resnet_layers=(2, 2, 2),
-        dtype=model.dtype)
+    uniform_fine = model.clone(npoints=n_fine)
 
     widths = tuple(int(x) for x in args.narrow.split(','))
     renders = {
@@ -101,9 +106,10 @@ def main():
             rows[name].append(psnr(rgb, gt))
             times[name].append(dt)
 
-    print(f'\nconfig: npoints=32 dense | uniform@{n_fine} | '
-          f'pruned {n_coarse}+{n_fine} | narrow {args.narrow} '
-          f'({args.worlds} unseen worlds, {H}x{W}, dtype={args.dtype})')
+    print(f'\n{args.config}: npoints={model.n_samples} dense | '
+          f'uniform@{n_fine} | pruned {n_coarse}+{n_fine} | '
+          f'narrow {args.narrow} ({args.worlds} unseen worlds, '
+          f'{H}x{W}, dtype={args.dtype})')
     for name in rows:
         print(f'{name:>13}: psnr {np.mean(rows[name]):6.2f} dB  '
               f'render {1e3 * np.mean(times[name]):7.1f} ms/image  '
