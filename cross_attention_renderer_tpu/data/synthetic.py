@@ -57,12 +57,12 @@ def _render_plane(c2w: np.ndarray, K: np.ndarray, H: int, W: int
     return np.where((t > 0)[..., None], rgb, -1.0)
 
 
-def make_plane_scene(seed: int, n_view: int = 2, H: int = 64, W: int = 64,
-                     n_rays: int = 0, dtype=jnp.float32) -> dict:
-    """Geometrically CONSISTENT synthetic scene: all views are analytic
-    renders of one textured plane, so a correct epipolar renderer can learn
-    to synthesize held-out query views (unlike the random-noise scenes from
-    :func:`make_scene`, which only test plumbing)."""
+def _analytic_scene(render, seed: int, n_view: int, H: int, W: int,
+                    n_rays: int, dtype) -> dict:
+    """Scene-dict assembly shared by the analytic world generators.
+
+    ``render(c2w) -> (H, W, 3)`` must be multi-view consistent (a function
+    of the world only)."""
     rng = np.random.default_rng(seed)
     K = make_intrinsics(H, W)
 
@@ -76,8 +76,8 @@ def make_plane_scene(seed: int, n_view: int = 2, H: int = 64, W: int = 64,
     ctx_c2w = np.stack([cam(1000 * seed + v) for v in range(n_view)])
     qry_c2w = cam(1000 * seed + 777)[None]
 
-    ctx_rgb = np.stack([_render_plane(c, K, H, W) for c in ctx_c2w])
-    qry_img = _render_plane(qry_c2w[0], K, H, W)
+    ctx_rgb = np.stack([render(c) for c in ctx_c2w])
+    qry_img = render(qry_c2w[0])
 
     i, j = np.meshgrid(np.arange(W), np.arange(H), indexing='xy')
     uv_full = np.stack([i, j], -1).reshape(-1, 2).astype(np.float64)
@@ -98,6 +98,80 @@ def make_plane_scene(seed: int, n_view: int = 2, H: int = 64, W: int = 64,
                   'uv': f(uv[None, None]), 'rgb': f(gt[None, None]),
                   'mask': jnp.zeros((1,), dtype)},
     }
+
+
+def make_plane_scene(seed: int, n_view: int = 2, H: int = 64, W: int = 64,
+                     n_rays: int = 0, dtype=jnp.float32) -> dict:
+    """Geometrically CONSISTENT synthetic scene: all views are analytic
+    renders of one textured plane, so a correct epipolar renderer can learn
+    to synthesize held-out query views (unlike the random-noise scenes from
+    :func:`make_scene`, which only test plumbing)."""
+    K = make_intrinsics(H, W)
+    return _analytic_scene(lambda c: _render_plane(c, K, H, W),
+                           seed, n_view, H, W, n_rays, dtype)
+
+
+def _world_rects(seed: int, n_rects: int) -> list:
+    """Deterministic floating rectangles for one boxes world:
+    (z, x0, x1, y0, y1, texture shift). z in (-1.1, -0.25) — between the
+    cameras (z ~ -2) and the base plane (z = 0)."""
+    r = np.random.default_rng(31 * seed + 7)
+    rects = []
+    for k in range(n_rects):
+        z = float(r.uniform(-1.1, -0.25))
+        cx, cy = r.uniform(-0.9, 0.9, 2)
+        hw, hh = r.uniform(0.15, 0.55, 2)
+        shift = float(r.uniform(0.0, 20.0))
+        rects.append((z, cx - hw, cx + hw, cy - hh, cy + hh, shift))
+    # nearest-first not required — the renderer tracks best-t
+    return rects
+
+
+def _render_boxes(c2w: np.ndarray, K: np.ndarray, H: int, W: int,
+                  rects: list) -> np.ndarray:
+    """Textured z=0 base plane plus floating textured rectangles at
+    different depths: real occlusion and depth discontinuities (the plane
+    world saturates low sample counts; this one makes epipolar sampling
+    strategy matter)."""
+    i, j = np.meshgrid(np.arange(W), np.arange(H), indexing='xy')
+    x = (i - K[0, 2]) / K[0, 0]
+    y = (j - K[1, 2]) / K[1, 1]
+    dirs = np.stack([x, y, np.ones_like(x)], -1) @ c2w[:3, :3].T
+    origin = c2w[:3, 3]
+    dz = np.where(np.abs(dirs[..., 2]) < 1e-6, 1e-6, dirs[..., 2])
+
+    t_base = -origin[2] / dz
+    base_hit = t_base > 0
+    pts = origin[None, None] + t_base[..., None] * dirs
+    rgb = np.where(base_hit[..., None],
+                   _plane_color(pts[..., 0], pts[..., 1]), -1.0)
+    best_t = np.where(base_hit, t_base, np.inf)
+
+    for (z, x0, x1, y0, y1, shift) in rects:
+        t_k = (z - origin[2]) / dz
+        p = origin[None, None] + t_k[..., None] * dirs
+        hit = ((t_k > 1e-6) & (t_k < best_t)
+               & (p[..., 0] >= x0) & (p[..., 0] <= x1)
+               & (p[..., 1] >= y0) & (p[..., 1] <= y1))
+        rgb = np.where(hit[..., None],
+                       _plane_color(p[..., 0] + shift, p[..., 1] - shift),
+                       rgb)
+        best_t = np.where(hit, t_k, best_t)
+    return rgb
+
+
+def make_boxes_scene(seed: int, n_view: int = 2, H: int = 64, W: int = 64,
+                     n_rays: int = 0, n_rects: int = 4,
+                     dtype=jnp.float32) -> dict:
+    """Multi-view-consistent world with occlusion: floating textured
+    rectangles over the textured base plane. Use instead of
+    :func:`make_plane_scene` when the measurement needs depth structure
+    (e.g. discriminating epipolar sampling strategies — a single plane
+    saturates at very low sample counts, BENCH_NOTES.md fast-eval table)."""
+    K = make_intrinsics(H, W)
+    rects = _world_rects(seed, n_rects)
+    return _analytic_scene(lambda c: _render_boxes(c, K, H, W, rects),
+                           seed, n_view, H, W, n_rays, dtype)
 
 
 def make_scene(seed: int, batch: int = 1, n_view: int = 2, H: int = 64,

@@ -16,7 +16,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cross_attention_renderer_tpu.data.synthetic import make_plane_scene
+from cross_attention_renderer_tpu.data.synthetic import (make_boxes_scene,
+                                                          make_plane_scene)
 from cross_attention_renderer_tpu.models import CrossAttentionRenderer
 from cross_attention_renderer_tpu.train.trainer import (
     TrainConfig, create_train_state, make_train_step)
@@ -36,8 +37,9 @@ CONFIGS = {
 }
 
 
-def load_world(seed):
-    s = make_plane_scene(seed, n_view=2, H=H, W=W)     # full-image query
+def load_world(seed, kind='plane'):
+    maker = make_boxes_scene if kind == 'boxes' else make_plane_scene
+    s = maker(seed, n_view=2, H=H, W=W)                # full-image query
     return jax.tree.map(np.asarray, s)
 
 
@@ -79,6 +81,9 @@ def main():
                     help='medium = the 8M TPU demo config; tiny = a '
                          'CPU-trainable config for fast-eval quality '
                          'checks when the chip is unavailable')
+    ap.add_argument('--world', default='plane', choices=['plane', 'boxes'],
+                    help='boxes adds floating occluders (depth structure '
+                         'that makes sampling strategy matter)')
     ap.add_argument('--platform', default='auto', choices=['auto', 'cpu'],
                     help='cpu forces the host backend (the axon plugin '
                          'ignores JAX_PLATFORMS; a down tunnel hangs '
@@ -88,8 +93,8 @@ def main():
         jax.config.update('jax_platforms', 'cpu')
 
     rng = np.random.default_rng(0)
-    worlds = [load_world(s) for s in range(args.worlds)]
-    held_out = jax.tree.map(jnp.asarray, load_world(100003))
+    worlds = [load_world(s, args.world) for s in range(args.worlds)]
+    held_out = jax.tree.map(jnp.asarray, load_world(100003, args.world))
 
     model = CrossAttentionRenderer(
         n_view=2, **CONFIGS[args.config],

@@ -21,7 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cross_attention_renderer_tpu.data.synthetic import make_plane_scene
+from cross_attention_renderer_tpu.data.synthetic import (make_boxes_scene,
+                                                          make_plane_scene)
 from cross_attention_renderer_tpu.models import CrossAttentionRenderer
 from cross_attention_renderer_tpu.train.evaluation import (
     make_fast_renderer, make_pruned_renderer, make_scan_renderer)
@@ -62,6 +63,9 @@ def main():
                     help='must match the capability_run --config that '
                          'produced --params')
     ap.add_argument('--platform', default='auto', choices=['auto', 'cpu'])
+    ap.add_argument('--world', default='plane', choices=['plane', 'boxes'],
+                    help='must match the capability_run --world that '
+                         'produced --params')
     args = ap.parse_args()
     if args.platform == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
@@ -93,11 +97,12 @@ def main():
 
     rows = {k: [] for k in renders}
     times = {k: [] for k in renders}
+    maker = make_boxes_scene if args.world == 'boxes' else make_plane_scene
     for wi in range(args.worlds):
         scene = jax.tree.map(
             jnp.asarray,
             jax.tree.map(np.asarray,
-                         make_plane_scene(200000 + wi, n_view=2, H=H, W=W)))
+                         maker(200000 + wi, n_view=2, H=H, W=W)))
         gt = scene['query']['rgb']
         uv = scene['query']['uv']
         z = encode(params, scene)
