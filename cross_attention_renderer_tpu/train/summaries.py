@@ -69,6 +69,50 @@ def paint_epipolar_points(context_rgb01: np.ndarray, pixel_val_ndc: np.ndarray,
     return out
 
 
+def epipolar_panel(query_rgb01: np.ndarray, context_rgb01: np.ndarray,
+                   query_uv: np.ndarray, pixel_val_ndc: np.ndarray,
+                   at_wt: np.ndarray, ray_idx: int = INSPECT_RAY
+                   ) -> np.ndarray:
+    """The reference's single ``epipolar_line`` grid panel.
+
+    Ref: ``epi_summary`` (summaries.py:72-141): the inspected query pixel is
+    blacked out in the QUERY image (square of half-size ``H//64 + 1``), each
+    epipolar sample is painted as a black square into the context images, and
+    the argmax-attention sample as a darker square; query + context tiles are
+    concatenated into one row (the reference uses
+    ``torchvision.utils.make_grid``).
+
+    Args:
+      query_rgb01: (H, W, 3) in [0, 1].
+      context_rgb01: (V, H, W, 3) in [0, 1].
+      query_uv: (R, 2) query pixel coordinates (pixel units).
+      pixel_val_ndc: (V, R, P, 2).
+      at_wt: (V, R, P) round-1 attention.
+    Returns (H, (1 + V) * W, 3) uint8.
+    """
+    V, H, W, _ = context_rgb01.shape
+    ray_idx = min(ray_idx, pixel_val_ndc.shape[1] - 1)
+    ps = H // 64 + 1                       # marker half-size, ref :90
+    qry = (query_rgb01 * 255).astype(np.uint8).copy()
+    x, y = (int(query_uv[ray_idx, 0]), int(query_uv[ray_idx, 1]))
+    qry[max(y - ps, 0):min(y + ps, H - 1),
+        max(x - ps, 0):min(x + ps, W - 1)] = 0
+    ctx = (context_rgb01 * 255).astype(np.uint8).copy()
+    for v in range(V):
+        pts = np.clip((pixel_val_ndc[v, ray_idx] + 1) / 2, 0, 1)   # (P, 2)
+        xs = (pts[:, 0] * (W - 1)).astype(int)
+        ys = (pts[:, 1] * (H - 1)).astype(int)
+        for px, py in zip(xs, ys):
+            ctx[v, max(py - ps, 0):min(py + ps, H - 1),
+                max(px - ps, 0):min(px + ps, W - 1)] = 64
+        best = int(np.argmax(at_wt[v, ray_idx]))
+        bx, by = xs[best], ys[best]
+        ctx[v, max(by - ps, 0):min(by + ps, H - 1),
+            max(bx - ps, 0):min(bx + ps, W - 1)] = 0
+    return np.concatenate([qry[None], ctx], 0).transpose(1, 0, 2, 3).reshape(
+        H, (1 + V) * W, 3)
+
+
 def write_summaries(writer, step: int, scene: dict, model_out: dict,
                     prefix: str = ''):
     """Write the reference's summary set to a tensorboardX writer.
@@ -112,3 +156,17 @@ def write_summaries(writer, step: int, scene: dict, model_out: dict,
     for v in range(painted.shape[0]):
         writer.add_image(f'{prefix}epipolar_{v}', painted[v], step,
                          dataformats='HWC')
+    # the reference's combined query+context panel (epi_summary); the query
+    # tile reuses the prediction canvas built above (gt and prediction share
+    # uv layout, and the panel only needs the marked pixel's location)
+    Hc, Wc = ctx01.shape[1:3]
+    uv = scene.get('query', {}).get('uv')
+    if uv is not None:
+        quv = np.asarray(uv[0, 0])
+    else:                       # full-image render: rays follow the uv grid
+        quv = np.stack(np.meshgrid(np.arange(Wc), np.arange(Hc))[::-1],
+                       -1).reshape(-1, 2)[:, ::-1].astype(np.float32)
+    if img.shape[:2] == (Hc, Wc):
+        writer.add_image(prefix + 'epipolar_line',
+                         epipolar_panel(img, ctx01, quv, pix, at_wt[0]),
+                         step, dataformats='HWC')

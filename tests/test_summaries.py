@@ -79,3 +79,23 @@ def test_write_summaries_nonsquare_rays(tmp_path):
     S.write_summaries(writer, 7, scene, out, prefix='train_')
     writer.close()
     assert 'train_prediction' in written and 'train_depth' in written
+
+
+def test_epipolar_panel():
+    """The reference's combined epi_summary panel (summaries.py:72-141):
+    query tile with the inspected pixel blacked out + painted contexts,
+    concatenated into one (H, (1+V)*W) row."""
+    V, H, W, R, P = 2, 64, 64, 16, 8
+    rng = np.random.default_rng(3)
+    qry = rng.uniform(0.5, 1, (H, W, 3))
+    ctx = rng.uniform(0.5, 1, (V, H, W, 3))
+    uv = rng.uniform(0, H, (R, 2))
+    pix = rng.uniform(-1, 1, (V, R, P, 2))
+    wt = rng.dirichlet(np.ones(P), (V, R))
+    panel = S.epipolar_panel(qry, ctx, uv, pix, wt, ray_idx=5)
+    assert panel.shape == (H, (1 + V) * W, 3) and panel.dtype == np.uint8
+    # the query pixel marker is black in the first tile
+    assert (panel[:, :W] == 0).all(-1).any()
+    # sample markers (grey 64) and argmax (black) appear in a context tile
+    assert (panel[:, W:] == 64).all(-1).any()
+    assert (panel[:, W:] == 0).all(-1).any()
