@@ -38,9 +38,43 @@ RAY_BLOCK = 8192          # render_realestate10k_traj.py:97 chunk size
 N_BLOCKS = (H * W) // RAY_BLOCK
 
 
+def _preflight(timeout_s: float = None):
+    """Fail fast when the TPU tunnel is down.
+
+    The axon PJRT plugin ignores ``JAX_PLATFORMS`` and its device init
+    blocks INDEFINITELY in native code when the tunnel is unreachable
+    (SIGALRM can't interrupt it) — so probe backend init in a subprocess
+    with a hard timeout before touching jax in this process. Healthy
+    init is a few seconds; a down tunnel turns into a clean exit(1)
+    instead of hanging the driver. ``CAR_BENCH_PREFLIGHT=0`` skips,
+    ``CAR_BENCH_PREFLIGHT_TIMEOUT`` overrides the window."""
+    import os
+    import subprocess
+    import sys
+    if os.environ.get('CAR_BENCH_PREFLIGHT', '1').lower() in ('0', 'false'):
+        return
+    if timeout_s is None:
+        timeout_s = float(os.environ.get('CAR_BENCH_PREFLIGHT_TIMEOUT',
+                                         '180'))
+    code = "import jax; jax.devices(); print('preflight-ok')"
+    try:
+        r = subprocess.run([sys.executable, '-c', code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        if r.returncode == 0 and 'preflight-ok' in r.stdout:
+            return
+        detail = (r.stderr.strip().splitlines() or ['unknown error'])[-1]
+    except subprocess.TimeoutExpired:
+        detail = f'device init did not complete in {timeout_s:.0f}s'
+    print(f'bench preflight: TPU backend unavailable ({detail})',
+          file=sys.stderr)
+    raise SystemExit(1)
+
+
 def main():
     from cross_attention_renderer_tpu.train.evaluation import (
         make_scan_renderer)
+
+    _preflight()
 
     scene = make_scene(0, batch=1, n_view=2, H=H, W=W, n_rays=H * W,
                        full_image=True)
