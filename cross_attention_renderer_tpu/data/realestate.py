@@ -228,6 +228,12 @@ def _load_frame(data, fname: str, pose_table, timestamp: int,
                                and rgb.shape[:2] != (IMG_H, IMG_W)):
         rgb = _resize(rgb, (IMG_H, IMG_W))
     rgb = square_crop(rgb)
+    if rgb.shape[:2] != (CROP, CROP):
+        # Odd-resolution scrape (neither 360p nor the expected frame size):
+        # without this check a full-image item would pair a CROP² uv grid
+        # with a differently-sized rgb SILENTLY; raising routes the scene
+        # into the defect-resample path like every other scrape defect.
+        raise ValueError(f'unexpected frame size {rgb.shape}')
     if do_augment:
         rgb, intr, c2w = augment(rng, rgb, intr, c2w)
     rgb = rgb.astype(np.float32) / 127.5 - 1.0

@@ -197,3 +197,74 @@ def test_iterator_sustains_training_rate(dataset_dir):
         next(it)
     rate = n_batches * 2 / (time.perf_counter() - t0)
     assert rate > 25.0, f'iterator only {rate:.1f} scenes/s'
+
+
+def test_odd_resolution_scene_resampled(tmp_path):
+    """A frame size that is neither 360p nor (IMG_H, IMG_W) must route into
+    the defect-resample path — NOT produce a scene whose full-image rgb
+    disagrees with the uv grid (the silent-corruption case this guards)."""
+    img_root = tmp_path / 'frames'
+    img_root.mkdir()
+    rng = np.random.default_rng(3)
+    poses = {}
+    for name, hw in (('scene_good', (re_data.IMG_H, re_data.IMG_W)),
+                     ('scene_odd', (144, 256))):
+        sdir = img_root / name
+        sdir.mkdir()
+        frames, rows = {}, []
+        for t in range(140):
+            ts = 1000 * t
+            frames[f'{ts}.png'] = rng.integers(0, 255, (*hw, 3),
+                                               dtype=np.uint8)
+            w2c = np.eye(4)
+            w2c[:3, 3] = rng.normal(0, 0.1, 3) + [0, 0, 0.02 * t]
+            rows.append([ts, 0.9, 1.6, 0.5, 0.5, 0, 0,
+                         *w2c[:3, :].reshape(-1)])
+        np.savez(sdir / 'data.npz', **frames)
+        poses[name] = np.asarray(rows)
+    savemat(tmp_path / 'poses.mat', poses)
+    ds = re_data.RealEstate10k(img_root, tmp_path / 'poses.mat',
+                               num_ctxt_views=2, query_sparsity=None,
+                               augment=False, seed=4)
+    odd_idx = [i for i, s in enumerate(ds.store.scenes)
+               if s.name == 'scene_odd'][0]
+    for _ in range(4):
+        item = ds[odd_idx]
+        # resampled onto the good scene: rgb row count matches the uv grid
+        assert item['query']['rgb'].shape[1] == item['query']['uv'].shape[1]
+        assert item['query']['rgb'].shape[-2:] == (
+            re_data.CROP * re_data.CROP, 3)[-2:] or \
+            item['query']['rgb'].shape[1] == re_data.CROP ** 2
+
+
+def test_pose_timestamp_mismatch_resampled(tmp_path):
+    """Pose tables that cover only part of the extracted frames (real
+    scrapes drift) must yield valid items via resampling, never KeyError/
+    IndexError out of __getitem__."""
+    img_root = tmp_path / 'frames'
+    img_root.mkdir()
+    rng = np.random.default_rng(5)
+    poses = {}
+    for name, stride in (('scene_full', 1), ('scene_gappy', 2)):
+        sdir = img_root / name
+        sdir.mkdir()
+        frames, rows = {}, []
+        for t in range(140):
+            ts = 1000 * t
+            frames[f'{ts}.png'] = rng.integers(
+                0, 255, (re_data.IMG_H, re_data.IMG_W, 3), dtype=np.uint8)
+            w2c = np.eye(4)
+            w2c[:3, 3] = rng.normal(0, 0.1, 3) + [0, 0, 0.02 * t]
+            rows.append([ts, 0.9, 1.6, 0.5, 0.5, 0, 0,
+                         *w2c[:3, :].reshape(-1)])
+        np.savez(sdir / 'data.npz', **frames)
+        poses[name] = np.asarray(rows)[::stride]
+    savemat(tmp_path / 'poses.mat', poses)
+    ds = re_data.RealEstate10k(img_root, tmp_path / 'poses.mat',
+                               num_ctxt_views=2, query_sparsity=32,
+                               augment=False, seed=6)
+    gappy = [i for i, s in enumerate(ds.store.scenes)
+             if s.name == 'scene_gappy'][0]
+    for k in range(6):
+        item = ds.getitem_seeded(gappy, k)
+        assert item['query']['rgb'].shape == (1, 32, 3)

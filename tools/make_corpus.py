@@ -92,8 +92,26 @@ def main():
              **{f'{1000 * t}.png': textured(rng, H, W) for t in range(8)})
     poses['scene_short'] = pose_rows(rng, 8)
 
+    # pose table covers only every other frame timestamp (ffmpeg extraction
+    # and the pose scrape drift apart in real data); picks that land on an
+    # uncovered frame raise in _pose_at and get resampled
+    sdir = img_root / 'scene_ts_mismatch'
+    sdir.mkdir(exist_ok=True)
+    np.savez(sdir / 'data.npz',
+             **{f'{1000 * t}.png': textured(rng, H, W) for t in range(40)})
+    poses['scene_ts_mismatch'] = pose_rows(rng, 40)[::2]
+
+    # odd-resolution scrape: neither 360p nor the expected 256x455 —
+    # must be rejected (frame-size check), not silently mis-shaped
+    sdir = img_root / 'scene_odd_res'
+    sdir.mkdir(exist_ok=True)
+    np.savez(sdir / 'data.npz',
+             **{f'{1000 * t}.png': textured(rng, 144, 256)
+                for t in range(20)})
+    poses['scene_odd_res'] = pose_rows(rng, 20)
+
     savemat(root / 'poses.mat', poses)
-    print(f'{args.scenes} scenes + 4 defects, {total / 1e9:.2f} GB frames '
+    print(f'{args.scenes} scenes + 6 defects, {total / 1e9:.2f} GB frames '
           f'at {root}')
 
 
