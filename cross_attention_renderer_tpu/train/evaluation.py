@@ -352,13 +352,16 @@ def make_fast_renderer(model, n_chunks: int,
     epipolar gathers move (the roofline bottleneck); outputs approximate
     the uniform full-width protocol, so this is opt-in for eval and
     trajectory rendering. Same signature as :func:`make_scan_renderer`.
-    ``narrow``/``q8`` require the V=2 multiview path (the folds target the
-    fuse layer).
+    ``narrow``/``q8`` require the multiview path (V >= 2 with latent
+    concat): the folds target the shared fuse layer
+    (``query_encode_latent``), which is the features' only consumer on
+    that path — at V=3 exactly as at V=2 (``_fuse_latent`` is shared by
+    the self and every cross stream).
     """
-    if (narrow is not None or q8) and (model.n_view != 2
+    if (narrow is not None or q8) and (model.n_view < 2
                                        or model.no_latent_concat):
-        raise ValueError('narrow/q8 rendering requires the V=2 multiview '
-                         'path')
+        raise ValueError('narrow/q8 rendering requires the multiview '
+                         '(V >= 2, latent-concat) path')
     inner_model = (model.clone(narrow_features=tuple(narrow))
                    if narrow is not None else model)
     if pruned is not None:

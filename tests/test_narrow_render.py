@@ -91,3 +91,41 @@ def test_narrow_composes_with_pruned():
     rgb, valid = both(params, scene, z_low, uv)
     assert rgb.shape == (1, 1, uv.shape[2], 3)
     assert bool(jnp.isfinite(rgb).all())
+
+
+def test_narrow_identity_v3():
+    """The fold is V-generic: at V=3 the shared fuse layer is still the
+    features' only consumer, so full-width narrowing must be exact."""
+    H = 32
+    scene = make_scene(11, batch=1, n_view=3, H=H, W=H, n_rays=H * H,
+                       full_image=True)
+    model = CrossAttentionRenderer(n_view=3, npoints=6, **TINY)
+    params = model.init(jax.random.PRNGKey(1), scene)
+    z = model.apply(params, scene, method='encode')
+    widths = tuple(int(x.shape[-1]) for x in z)
+    dense = make_scan_renderer(model, 4)
+    narrow = make_narrow_renderer(model, 4, widths=widths)
+    uv = scene['query']['uv']
+    rgb_d, _ = dense(params, scene, z, uv)
+    rgb_n, _ = narrow(params, scene, z, uv)
+    np.testing.assert_array_equal(np.asarray(rgb_n), np.asarray(rgb_d))
+
+
+def test_narrow_exact_on_lowrank_features_v3():
+    H = 32
+    scene = make_scene(12, batch=1, n_view=3, H=H, W=H, n_rays=H * H,
+                       full_image=True)
+    model = CrossAttentionRenderer(n_view=3, npoints=6, **TINY)
+    params = model.init(jax.random.PRNGKey(2), scene)
+    z = model.apply(params, scene, method='encode')
+    r = 12
+    z_low = (to_rank(z[0], r), to_rank(z[1], r), z[2])
+    widths = (r, r, int(z[2].shape[-1]))
+    dense = make_scan_renderer(model, 4)
+    narrow = make_narrow_renderer(model, 4, widths=widths)
+    uv = scene['query']['uv']
+    rgb_d, valid_d = dense(params, scene, z_low, uv)
+    rgb_n, valid_n = narrow(params, scene, z_low, uv)
+    np.testing.assert_array_equal(np.asarray(valid_n), np.asarray(valid_d))
+    np.testing.assert_allclose(np.asarray(rgb_n), np.asarray(rgb_d),
+                               atol=2e-3)

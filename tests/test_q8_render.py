@@ -71,3 +71,26 @@ def test_all_three_levers_compose():
     rgb, valid = fast(params, scene, z, uv)
     assert rgb.shape == (1, 1, uv.shape[2], 3)
     assert bool(jnp.isfinite(rgb).all())
+
+
+def test_q8_equals_dense_on_dequantized_features_v3():
+    """The scale fold is V-generic (shared fuse layer); at V=3 the q8
+    renderer must equal the dense render on dequantized features through
+    BOTH the epipolar and the cross-view exchange gathers."""
+    H = 32
+    scene = make_scene(14, batch=1, n_view=3, H=H, W=H, n_rays=H * H,
+                       full_image=True)
+    model = CrossAttentionRenderer(n_view=3, npoints=6, **TINY)
+    params = model.init(jax.random.PRNGKey(3), scene)
+    z = model.apply(params, scene, method='encode')
+    uv = scene['query']['uv']
+    dense = make_scan_renderer(model, 4)
+    q8 = make_fast_renderer(model, 4, q8=True)
+
+    z_deq = tuple(dequant_reference(z_l) for z_l in z)
+    rgb_ref, valid_ref = dense(params, scene, z_deq, uv)
+    rgb_q8, valid_q8 = q8(params, scene, z, uv)
+    np.testing.assert_array_equal(np.asarray(valid_q8),
+                                  np.asarray(valid_ref))
+    np.testing.assert_allclose(np.asarray(rgb_q8), np.asarray(rgb_ref),
+                               atol=2e-4)
