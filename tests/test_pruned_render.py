@@ -160,3 +160,23 @@ def test_pruned_renderer_guided_smoke():
     assert rgb_p.shape == rgb_d.shape
     np.testing.assert_array_equal(np.asarray(valid_p), np.asarray(valid_d))
     assert bool(jnp.isfinite(rgb_p).all())
+
+
+def test_pruned_renderer_guided_smoke_v3():
+    """The coarse->fine resampler is V-generic; drive it end-to-end on the
+    3-view renderer (uniform@coarse pass + guided fine pass, full image)."""
+    n_view, H = 3, 32
+    scene = make_scene(4, batch=1, n_view=n_view, H=H, W=H,
+                       n_rays=H * H, full_image=True)
+    model = CrossAttentionRenderer(n_view=n_view, npoints=6, **TINY)
+    params = model.init(jax.random.PRNGKey(0), scene)
+    z = model.apply(params, scene, method='encode')
+    uv = scene['query']['uv']
+
+    dense = make_scan_renderer(model, n_chunks=4)
+    pruned = make_pruned_renderer(model, n_chunks=4, n_coarse=4, n_fine=6)
+    rgb_d, valid_d = dense(params, scene, z, uv)
+    rgb_p, valid_p = pruned(params, scene, z, uv)
+    assert rgb_p.shape == rgb_d.shape
+    np.testing.assert_array_equal(np.asarray(valid_p), np.asarray(valid_d))
+    assert bool(jnp.isfinite(rgb_p).all())
