@@ -51,6 +51,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument('--q8', action='store_true',
                    help='int8 gather tables (per-channel scales folded '
                         'into the fuse kernel)')
+    p.add_argument('--fast', action='store_true',
+                   help='preset composing all three fast-eval levers at '
+                        'their documented defaults (docs/FAST_EVAL.md): '
+                        '--pruned 16,24 --narrow 128,128,64 --q8; '
+                        'explicit flags override their part of the preset')
     return p
 
 
@@ -63,11 +68,16 @@ def parse_pruned(opt):
 
 
 def fast_eval_kwargs(opt) -> dict:
-    """--pruned/--narrow/--q8 -> make_image_renderer kwargs."""
+    """--pruned/--narrow/--q8/--fast -> make_image_renderer kwargs."""
     narrow = (tuple(int(x) for x in opt.narrow.split(','))
               if getattr(opt, 'narrow', None) else None)
-    return dict(pruned=parse_pruned(opt), narrow=narrow,
-                q8=bool(getattr(opt, 'q8', False)))
+    pruned = parse_pruned(opt)
+    q8 = bool(getattr(opt, 'q8', False))
+    if getattr(opt, 'fast', False):
+        pruned = pruned or (16, 24)
+        narrow = narrow or (128, 128, 64)
+        q8 = True
+    return dict(pruned=pruned, narrow=narrow, q8=q8)
 
 
 class FrameWriter:

@@ -92,3 +92,45 @@ def test_fast_eval_flags_parse():
     opt = p.parse_args([])
     assert fast_eval_kwargs(opt) == {'pruned': None, 'narrow': None,
                                      'q8': False}
+
+
+def test_fast_preset_kwargs():
+    """--fast composes the documented defaults; explicit flags override
+    their part of the preset (docs/FAST_EVAL.md)."""
+    from cross_attention_renderer_tpu.cli.common import (base_parser,
+                                                         fast_eval_kwargs)
+    p = base_parser('t')
+    kw = fast_eval_kwargs(p.parse_args(['--fast']))
+    assert kw == dict(pruned=(16, 24), narrow=(128, 128, 64), q8=True)
+    kw = fast_eval_kwargs(p.parse_args(['--fast', '--pruned', '8,8']))
+    assert kw['pruned'] == (8, 8) and kw['narrow'] == (128, 128, 64)
+    kw = fast_eval_kwargs(p.parse_args([]))
+    assert kw == dict(pruned=None, narrow=None, q8=False)
+
+
+@pytest.mark.slow
+def test_eval_cli_fast_smoke(dataset, tmp_path, monkeypatch, capsys):
+    """The --fast preset drives the composed fast renderer through the real
+    eval CLI (pruned + narrow + q8 at smoke-sized settings)."""
+    from cross_attention_renderer_tpu.data import realestate as re_data
+    monkeypatch.setattr(re_data, 'IMG_H', 64)
+    monkeypatch.setattr(re_data, 'IMG_W', 114)
+    monkeypatch.setattr(re_data, 'CROP', 64)
+    img_root, pose_root = dataset
+    from cross_attention_renderer_tpu.cli import eval as eval_cli
+    from cross_attention_renderer_tpu.train import evaluation as ev
+    orig = ev.evaluate_scene
+
+    def eval64(model, params, scene, **kw):
+        kw.update(H=64, W=64)
+        return orig(model, params, scene, **kw)
+
+    monkeypatch.setattr(ev, 'evaluate_scene', eval64)
+    monkeypatch.setattr(eval_cli, 'evaluate_scene', eval64)
+    eval_cli.main([
+        '--img_root', str(img_root), '--pose_root', str(pose_root),
+        '--logging_root', str(tmp_path), '--experiment_name', 'fast_eval',
+        '--max_scenes', '1', '--n_chunks', '4',
+        '--fast', '--pruned', '4,6', '--narrow', '16,16,32', *TINY_FLAGS])
+    out = capsys.readouterr().out
+    assert 'psnr=' in out and 'ssim=' in out
