@@ -2,8 +2,11 @@
 
 Mirrors render_realestate10k_traj.py:84-185 — encoder latent computed once
 per scene, every frame rendered in 8192-ray chunks from a new query pose.
+``--fast`` (or individual --pruned/--narrow/--q8) measures the fast-eval
+composed renderer instead (docs/FAST_EVAL.md).
 """
 
+import argparse
 import time
 
 import jax
@@ -18,6 +21,18 @@ FRAMES = 4
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--fast', action='store_true')
+    ap.add_argument('--pruned', default=None, metavar='C,F')
+    ap.add_argument('--narrow', default=None, metavar='K1,K2,K3')
+    ap.add_argument('--q8', action='store_true')
+    args = ap.parse_args()
+    pruned = (tuple(int(x) for x in args.pruned.split(','))
+              if args.pruned else ((16, 24) if args.fast else None))
+    narrow = (tuple(int(x) for x in args.narrow.split(','))
+              if args.narrow else ((128, 128, 64) if args.fast else None))
+    q8 = args.q8 or args.fast
+
     scene = make_scene(0, batch=1, n_view=2, H=H, W=W, n_rays=H * W,
                        full_image=True)
     model = CrossAttentionRenderer(n_view=2, dtype=jnp.bfloat16)
@@ -26,8 +41,14 @@ def main():
     z = encode(params, scene)
 
     from cross_attention_renderer_tpu.train.evaluation import (
-        make_scan_renderer)
-    render_image = make_scan_renderer(model, (H * W) // RAY_BLOCK)
+        make_fast_renderer, make_scan_renderer)
+    if pruned or narrow or q8:
+        render_image = make_fast_renderer(model, (H * W) // RAY_BLOCK,
+                                          pruned=pruned, narrow=narrow,
+                                          q8=q8)
+        print(f'fast mode: pruned={pruned} narrow={narrow} q8={q8}')
+    else:
+        render_image = make_scan_renderer(model, (H * W) // RAY_BLOCK)
     uv_full = scene['query']['uv']
     c2w0 = scene['query']['cam2world']
 
