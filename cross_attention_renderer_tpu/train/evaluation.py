@@ -73,8 +73,20 @@ def make_scan_renderer(model, n_chunks: int) -> Callable:
     temporaries. Ref: the Python chunk loops at eval_realestate10k.py:
     144-149 and render_realestate10k_traj.py:118-137; SURVEY.md §7.1
     prescribes exactly this scan.
+
+    ``CAR_SCAN_UNROLL=k`` (k dividing n_chunks, default 1) processes k
+    half-size sub-blocks per scan iteration as independent subgraphs —
+    letting XLA's latency-hiding scheduler overlap sub-block i+1's
+    epipolar takes (HBM DMA) with sub-block i's fused epilogue (compute),
+    which a While-loop iteration boundary forbids. Outputs are identical;
+    the per-sub-block HBM footprint shrinks by k so peak memory with two
+    in flight matches the unrolled=1 peak.
     """
+    import os
+
     from cross_attention_renderer_tpu.ops import pack_pyramid
+
+    unroll = max(1, int(os.environ.get('CAR_SCAN_UNROLL', '1')))
 
     # The V=2 multiview path samples from packed cell tables; build them
     # ONCE per image outside the scan instead of per block (the table is a
@@ -85,20 +97,28 @@ def make_scan_renderer(model, n_chunks: int) -> Callable:
     @jax.jit
     def render_image(p, scene, z, uv_full):
         B, Q, n_rays, _ = uv_full.shape
+        k = unroll if n_chunks % unroll == 0 else 1
+        n_iter = n_chunks // k
         size = n_rays // n_chunks
-        blocks = uv_full.reshape(B, Q, n_chunks, size, 2)
-        blocks = jnp.moveaxis(blocks, 2, 0)                # (NB, B, Q, S, 2)
+        blocks = uv_full.reshape(B, Q, n_iter, k, size, 2)
+        blocks = jnp.moveaxis(blocks, 2, 0)             # (NI, B, Q, k, S, 2)
         zp = pack_pyramid(tuple(z)) if uses_packed else None
 
-        def body(_, uv):
+        def render_block(uv):
             s = dict(scene)
             s['query'] = dict(scene['query'])
             s['query']['uv'] = uv
             out = model.apply(p, s, z=z, z_packed=zp)
-            return None, (out['rgb'], out['valid_mask'])
+            return out['rgb'], out['valid_mask']
+
+        def body(_, uvk):
+            outs = [render_block(uvk[:, :, i]) for i in range(k)]
+            return None, (jnp.stack([o[0] for o in outs], 2),
+                          jnp.stack([o[1] for o in outs], 1))
 
         _, (rgb, valid) = jax.lax.scan(body, None, blocks)
-        # (NB, B, Q, S, 3) -> (B, Q, n_rays, 3); valid (NB, B, S, 1)
+        # rgb (NI, B, Q, k, S, 3) -> (B, Q, n_rays, 3);
+        # valid (NI, B, k, S, 1) -> (B, n_rays, 1)
         rgb = jnp.moveaxis(rgb, 0, 2).reshape(B, Q, n_rays, 3)
         valid = jnp.moveaxis(valid, 0, 1).reshape(B, n_rays, 1)
         return rgb, valid

@@ -63,3 +63,30 @@ def test_scan_renderer_matches_chunked():
     np.testing.assert_allclose(
         np.asarray(valid_s).reshape(-1),
         np.asarray(valid_c).reshape(-1), atol=1e-6)
+
+
+def test_scan_unroll_matches_default(monkeypatch):
+    """CAR_SCAN_UNROLL=2 (two independent sub-blocks per scan iteration,
+    for take/compute overlap on TPU) must be output-identical to the
+    default scan renderer."""
+    import os
+    from cross_attention_renderer_tpu.train.evaluation import (
+        make_scan_renderer)
+    H = 32
+    scene = make_scene(21, batch=1, n_view=2, H=H, W=H, n_rays=H * H,
+                       full_image=True)
+    model = CrossAttentionRenderer(n_view=2, npoints=8, **TINY)
+    params = model.init(jax.random.PRNGKey(0), scene)
+    z = model.apply(params, scene, method='encode')
+    uv = scene['query']['uv']
+    base = make_scan_renderer(model, 4)
+    monkeypatch.setenv('CAR_SCAN_UNROLL', '2')
+    unrolled = make_scan_renderer(model, 4)
+    monkeypatch.setenv('CAR_SCAN_UNROLL', '3')   # does not divide 4 -> k=1
+    fallback = make_scan_renderer(model, 4)
+    rgb_b, valid_b = base(params, scene, z, uv)
+    rgb_u, valid_u = unrolled(params, scene, z, uv)
+    rgb_f, valid_f = fallback(params, scene, z, uv)
+    np.testing.assert_array_equal(np.asarray(rgb_u), np.asarray(rgb_b))
+    np.testing.assert_array_equal(np.asarray(valid_u), np.asarray(valid_b))
+    np.testing.assert_array_equal(np.asarray(rgb_f), np.asarray(rgb_b))
