@@ -8,6 +8,7 @@ train/evaluation.py make_narrow_renderer.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -93,6 +94,7 @@ def test_narrow_composes_with_pruned():
     assert bool(jnp.isfinite(rgb).all())
 
 
+@pytest.mark.slow
 def test_narrow_identity_v3():
     """The fold is V-generic: at V=3 the shared fuse layer is still the
     features' only consumer, so full-width narrowing must be exact."""
@@ -111,6 +113,7 @@ def test_narrow_identity_v3():
     np.testing.assert_array_equal(np.asarray(rgb_n), np.asarray(rgb_d))
 
 
+@pytest.mark.slow
 def test_narrow_exact_on_lowrank_features_v3():
     H = 32
     scene = make_scene(12, batch=1, n_view=3, H=H, W=H, n_rays=H * H,

@@ -7,6 +7,7 @@ reference protocol, so these tests pin the mechanism, not bit-parity.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -162,6 +163,7 @@ def test_pruned_renderer_guided_smoke():
     assert bool(jnp.isfinite(rgb_p).all())
 
 
+@pytest.mark.slow
 def test_pruned_renderer_guided_smoke_v3():
     """The coarse->fine resampler is V-generic; drive it end-to-end on the
     3-view renderer (uniform@coarse pass + guided fine pass, full image)."""

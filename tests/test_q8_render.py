@@ -5,6 +5,7 @@ tools/eval_pruned.py). Tiny config, CPU.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,6 +74,7 @@ def test_all_three_levers_compose():
     assert bool(jnp.isfinite(rgb).all())
 
 
+@pytest.mark.slow
 def test_q8_equals_dense_on_dequantized_features_v3():
     """The scale fold is V-generic (shared fuse layer); at V=3 the q8
     renderer must equal the dense render on dequantized features through

@@ -65,6 +65,7 @@ def test_scan_renderer_matches_chunked():
         np.asarray(valid_c).reshape(-1), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_scan_unroll_matches_default(monkeypatch):
     """CAR_SCAN_UNROLL=2 (two independent sub-blocks per scan iteration,
     for take/compute overlap on TPU) must be output-identical to the
