@@ -25,6 +25,14 @@ def timed(name, f, n=3):
 render = make_scan_renderer(model, NB)
 timed('staged (epilogue+attn)', lambda: render(params, scene, z, uv_full))
 
+# scan unroll: k sub-blocks per iteration -> take/epilogue overlap across
+# sub-blocks (the While-loop boundary forbids it across iterations)
+for k in (2, 4):
+    os.environ['CAR_SCAN_UNROLL'] = str(k)
+    r = make_scan_renderer(model, NB)
+    timed(f'staged unroll={k}      ', lambda r=r: r(params, scene, z, uv_full))
+os.environ.pop('CAR_SCAN_UNROLL', None)
+
 import cross_attention_renderer_tpu.ops.fused_render as FR
 os.environ['CAR_FUSED_RENDER'] = '1'
 for rays in (8, 16, 32):
@@ -32,3 +40,10 @@ for rays in (8, 16, 32):
     r = make_scan_renderer(model, NB)
     # new jit each time (RAY_BLOCK is baked into the traced kernel)
     timed(f'mega rays={rays}       ', lambda r=r: r(params, scene, z, uv_full))
+
+# best mega block size + unroll combined
+os.environ['CAR_SCAN_UNROLL'] = '2'
+for rays in (8, 16):
+    FR.RAY_BLOCK = rays
+    r = make_scan_renderer(model, NB)
+    timed(f'mega rays={rays} unroll=2', lambda r=r: r(params, scene, z, uv_full))
