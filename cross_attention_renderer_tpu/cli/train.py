@@ -43,12 +43,24 @@ def main(argv=None):
     p.add_argument('--data_parallel', type=int, default=0,
                    help='DP ways (0 = all devices)')
     p.add_argument('--tensor_parallel', type=int, default=1)
+    # multi-host: one process per host joins via jax.distributed
+    # (replaces the reference's NCCL TCP rendezvous,
+    # train_realestate10k.py:71). On real TPU pods all three can be
+    # omitted (the TPU metadata provides them).
+    p.add_argument('--coordinator_address', type=str, default=None,
+                   help='host:port of process 0 (multi-host runs)')
+    p.add_argument('--num_processes', type=int, default=None)
+    p.add_argument('--process_id', type=int, default=None)
     p.add_argument('--val_img_root', type=str, default=None)
     p.add_argument('--val_pose_root', type=str, default=None)
     p.add_argument('--co3d_root', type=str, default=None,
                    help='train on CO3D-v2 instead of npz scenes')
     p.add_argument('--co3d_category', type=str, default='all_nerformer')
     opt = p.parse_args(argv)
+
+    from cross_attention_renderer_tpu.parallel.distributed import (
+        initialize, is_primary, make_global_mesh, process_batch_slice)
+    initialize(opt.coordinator_address, opt.num_processes, opt.process_id)
 
     log_dir = Path(opt.logging_root) / opt.experiment_name
     ckpt_dir = log_dir / 'checkpoints'
@@ -65,7 +77,8 @@ def main(argv=None):
             opt.img_root, opt.pose_root, num_ctxt_views=opt.views,
             query_sparsity=opt.query_sparsity, lpips=opt.lpips, augment=True)
     data = batch_iterator(dataset, opt.batch_size,
-                          num_workers=opt.num_workers)
+                          num_workers=opt.num_workers,
+                          shard=(jax.process_index(), jax.process_count()))
 
     model = build_model(opt)
     cfg = TrainConfig(lr=opt.lr, depth=opt.depth, lpips=opt.lpips,
@@ -73,10 +86,21 @@ def main(argv=None):
                       steps_til_summary=opt.steps_til_summary,
                       iters_til_checkpoint=opt.iters_til_ckpt)
 
+    lpips_fn = None
+    if opt.lpips:
+        # Stage-2 fine-tune (reference README.md:56-58): the LPIPS term is
+        # the point of the stage, so missing weights are a hard error, not
+        # a silent fallback (load_lpips raises with conversion directions).
+        from cross_attention_renderer_tpu.losses.lpips import load_lpips
+        lpips_fn = load_lpips()
+
     mesh = None
     if jax.device_count() > 1 or opt.tensor_parallel > 1:
-        mesh = make_mesh(data=opt.data_parallel, model=opt.tensor_parallel)
-        print(f'mesh: {dict(mesh.shape)}')
+        mesh = make_global_mesh(data=opt.data_parallel,
+                                model=opt.tensor_parallel)
+        if is_primary():
+            print(f'mesh: {dict(mesh.shape)} over '
+                  f'{jax.process_count()} process(es)')
 
     state = None
     if opt.checkpoint_path:
@@ -87,12 +111,14 @@ def main(argv=None):
 
     try:
         from tensorboardX import SummaryWriter
-        writer = SummaryWriter(str(log_dir / 'summaries'), flush_secs=10)
+        # reference rank-0-only logging (training.py:60,82,105)
+        writer = (SummaryWriter(str(log_dir / 'summaries'), flush_secs=10)
+                  if is_primary() else None)
     except Exception:
         writer = None
 
     def log_fn(step, metrics):
-        if step % 50 == 0:
+        if step % 50 == 0 and is_primary():
             vals = {k: float(v) for k, v in metrics.items()}
             line = ' '.join(f'{k}={v:.4f}' for k, v in vals.items())
             print(f'step {step}: {line}', flush=True)
@@ -110,18 +136,24 @@ def main(argv=None):
                                   opt.val_pose_root or opt.pose_root,
                                   num_ctxt_views=opt.views)
 
+        from cross_attention_renderer_tpu.train.evaluation import (
+            make_summary_renderer)
+        encode_jit = jax.jit(lambda p, s: model.apply(p, s, method='encode'))
+        summary_render = make_summary_renderer(model, n_chunks=8)
+
         def val_fn(state, step):
             import numpy as _np
+            # full-image val render (in-jit scan over ray blocks) — the
+            # whole frame, not a ray strip, is the training-time visual check
             scene = jax.tree.map(lambda x: _np.asarray(x)[None], val_ds[0])
-            # render a small ray slice for the summary images
-            scene['query']['uv'] = scene['query']['uv'][:, :, :4096]
-            scene['query']['rgb'] = scene['query']['rgb'][:, :, :4096]
-            out = jax.jit(model.apply)(state.params, scene)
+            z = encode_jit(state.params, scene)
+            out = summary_render(state.params, scene, z,
+                                 scene['query']['uv'])
             write_summaries(writer, step, scene,
                             jax.tree.map(_np.asarray, out), prefix='val_')
 
     fit(model, cfg, data, opt.max_steps, ckpt_dir=str(ckpt_dir), mesh=mesh,
-        state=state, log_fn=log_fn, val_fn=val_fn)
+        state=state, log_fn=log_fn, val_fn=val_fn, lpips_fn=lpips_fn)
 
 
 if __name__ == '__main__':

@@ -126,6 +126,51 @@ def make_scan_renderer(model, n_chunks: int) -> Callable:
     return render_image
 
 
+def make_summary_renderer(model, n_chunks: int) -> Callable:
+    """Full-image renderer that also returns the per-ray diagnostic fields
+    the TB summaries consume (depth_ray, at_wt, pixel_val) — so the training
+    val check covers a whole frame instead of a top-of-image ray strip.
+    Same in-jit ``lax.scan`` as :func:`make_scan_renderer`.
+
+    Returns jitted ``fn(params, scene, z, uv_full) -> model_out dict`` with
+    entries shaped as one ``model.apply`` over all rays: rgb (B, 1, R, 3),
+    valid_mask/depth_ray (B, R, 1), at_wt (B, V, R, P),
+    pixel_val (B, V, R, P, 2).
+    """
+    from cross_attention_renderer_tpu.ops import pack_pyramid
+
+    uses_packed = (model.n_view == 2 and not model.no_latent_concat
+                   and not model._use_sorted_stream(1, 2, 8192, 64))
+
+    @jax.jit
+    def render_image(p, scene, z, uv_full):
+        B, Q, n_rays, _ = uv_full.shape
+        size = n_rays // n_chunks
+        blocks = uv_full.reshape(B, Q, n_chunks, size, 2)
+        blocks = jnp.moveaxis(blocks, 2, 0)                # (NB, B, Q, S, 2)
+        zp = pack_pyramid(tuple(z)) if uses_packed else None
+
+        def body(_, uv):
+            s = dict(scene)
+            s['query'] = dict(scene['query'])
+            s['query']['uv'] = uv
+            out = model.apply(p, s, z=z, z_packed=zp)
+            return None, (out['rgb'], out['valid_mask'], out['depth_ray'],
+                          out['at_wt'], out['pixel_val'])
+
+        _, (rgb, valid, depth, at_wt, pix) = jax.lax.scan(body, None, blocks)
+        V, P = at_wt.shape[2], at_wt.shape[-1]
+        return {
+            'rgb': jnp.moveaxis(rgb, 0, 2).reshape(B, Q, n_rays, 3),
+            'valid_mask': jnp.moveaxis(valid, 0, 1).reshape(B, n_rays, 1),
+            'depth_ray': jnp.moveaxis(depth, 0, 1).reshape(B, n_rays, 1),
+            'at_wt': jnp.moveaxis(at_wt, 0, 2).reshape(B, V, n_rays, P),
+            'pixel_val': jnp.moveaxis(pix, 0, 2).reshape(B, V, n_rays, P, 2),
+        }
+
+    return render_image
+
+
 def make_image_renderer(model, params, n_chunks: int,
                         pruned: Optional[tuple] = None,
                         narrow: Optional[tuple] = None,

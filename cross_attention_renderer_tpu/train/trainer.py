@@ -18,7 +18,6 @@ Optimizer matches the reference prescription: Adam(lr 5e-5, betas
 from __future__ import annotations
 
 import dataclasses
-import time
 from pathlib import Path
 from typing import Any, Callable, Iterator, Optional
 
@@ -28,8 +27,7 @@ import optax
 from flax.training import train_state
 
 from cross_attention_renderer_tpu.losses import LFLoss, total_loss
-from cross_attention_renderer_tpu.parallel import (
-    make_mesh, param_shardings, replicated, scene_shardings)
+from cross_attention_renderer_tpu.parallel import param_shardings
 
 Array = Any
 
@@ -67,12 +65,34 @@ def create_train_state(model, scene, cfg: TrainConfig,
                              tx=make_optimizer(cfg))
 
 
+def _train_model(model):
+    """The model configuration used inside the train step: fused Pallas
+    kernels OFF (jnp paths), unless ``CAR_TRAIN_KERNELS=1`` opts in.
+
+    Measured policy (BENCH_NOTES round 4): the kernels' custom VJPs
+    recompute the jnp reference forward in the backward anyway, so under
+    ``value_and_grad`` they only add a redundant Pallas forward — and the
+    flagship batch-12 program with the kernels inlined crashes the TPU
+    compiler's register allocator outright. The jnp path is the training
+    configuration that the steps/s numbers describe; the kernels remain
+    the eval/render hot path.
+    """
+    import os
+    if os.environ.get('CAR_TRAIN_KERNELS', '0') == '1':
+        return model
+    if getattr(model, 'fused_attention', None) is None and \
+            getattr(model, 'fused_epilogue', None) is None:
+        return model.clone(fused_attention=False, fused_epilogue=False)
+    return model
+
+
 def make_loss_fn(model, cfg: TrainConfig,
                  lpips_fn: Optional[Callable] = None,
                  loss_schedules: Optional[dict] = None):
     """loss_schedules: optional {loss_name: fn(step)->weight}, evaluated
     inside the jitted step (fns must be jnp-traceable). Ref: the per-loss
     schedule hooks in training.py:96-107."""
+    model = _train_model(model)
     loss = LFLoss(l2_weight=cfg.l2_weight, depth=cfg.depth,
                   lpips_fn=lpips_fn if cfg.lpips else None)
 
@@ -114,8 +134,13 @@ def make_train_step(model, cfg: TrainConfig, mesh=None,
     def mesh_step(state, scene):
         # Inputs are committed to their shardings (state via shard_state,
         # scene batch-sharded over 'data'); jit propagates them and XLA
-        # inserts the gradient all-reduce over ICI.
-        scene = jax.device_put(scene, scene_shardings(scene, mesh))
+        # inserts the gradient all-reduce over ICI (and DCN across hosts).
+        # Multi-process: `scene` holds this process's batch rows only and
+        # global_scene assembles the global array (single-process it is
+        # exactly device_put(scene_shardings)).
+        from cross_attention_renderer_tpu.parallel.distributed import (
+            global_scene)
+        scene = global_scene(scene, mesh)
         return jitted(state, scene)
 
     return mesh_step
@@ -185,13 +210,24 @@ def fit(model, cfg: TrainConfig, data_iter: Iterator[dict], max_steps: int,
         ckpt_dir: Optional[str] = None, mesh=None, state: Optional[TrainState] = None,
         log_fn: Optional[Callable[[int, dict], None]] = None,
         val_fn: Optional[Callable[[TrainState, int], None]] = None,
+        lpips_fn: Optional[Callable] = None,
+        loss_schedules: Optional[dict] = None,
         resume: bool = True) -> TrainState:
     """Single curriculum stage: iterate `data_iter` for `max_steps` steps.
+
+    ``lpips_fn`` is required when ``cfg.lpips`` is set — the stage-2
+    fine-tune (reference README.md:56-58, loss_functions.py:102-118) must
+    not silently train without its perceptual term.
 
     Fault tolerance (the trainer-level recovery the reference lacks —
     SURVEY.md §5): when ``resume`` and a 'current' checkpoint exists in
     ``ckpt_dir``, training continues from it (params + optimizer + step).
     """
+    if cfg.lpips and lpips_fn is None:
+        raise ValueError(
+            'cfg.lpips=True but no lpips_fn was provided; construct one '
+            'with losses.lpips.load_lpips() (stage-2 fine-tune must not '
+            'silently train without the LPIPS term)')
     first = next(data_iter)
     if state is None:
         state = create_train_state(model, first, cfg)
@@ -208,9 +244,9 @@ def fit(model, cfg: TrainConfig, data_iter: Iterator[dict], max_steps: int,
                   f'{int(state.step)}', flush=True)
     elif mesh is not None:
         state = shard_state(state, mesh)
-    step_fn = make_train_step(model, cfg, mesh)
+    step_fn = make_train_step(model, cfg, mesh, lpips_fn=lpips_fn,
+                              loss_schedules=loss_schedules)
 
-    t0 = time.time()
     scene = first
     start = int(state.step)
     for i in range(start, max_steps):
@@ -228,5 +264,4 @@ def fit(model, cfg: TrainConfig, data_iter: Iterator[dict], max_steps: int,
     if ckpt_dir:
         save_checkpoint(ckpt_dir, state, 'final')
     jax.block_until_ready(state.params)
-    del t0
     return state

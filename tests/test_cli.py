@@ -56,6 +56,43 @@ def test_train_cli_smoke(dataset, tmp_path, monkeypatch):
     assert (tmp_path / 'smoke' / 'checkpoints' / 'final').exists()
 
 
+@pytest.mark.slow
+def test_train_cli_lpips_smoke(dataset, tmp_path, monkeypatch, lpips_npz):
+    """Stage-2 command (--lpips --depth) end-to-end through the CLI: the
+    LPIPS weights load via $LPIPS_WEIGHTS and the term reaches the step."""
+    from cross_attention_renderer_tpu.data import realestate as re_data
+    monkeypatch.setattr(re_data, 'IMG_H', 64)
+    monkeypatch.setattr(re_data, 'IMG_W', 114)
+    monkeypatch.setattr(re_data, 'CROP', 64)
+    monkeypatch.setenv('LPIPS_WEIGHTS', str(lpips_npz))
+    img_root, pose_root = dataset
+    from cross_attention_renderer_tpu.cli import train as train_cli
+    train_cli.main([
+        '--img_root', str(img_root), '--pose_root', str(pose_root),
+        '--logging_root', str(tmp_path), '--experiment_name', 'smoke_lpips',
+        '--batch_size', '1', '--max_steps', '2', '--lpips', '--depth',
+        '--lr', '1e-4', '--steps_til_summary', '100',
+        *TINY_FLAGS])
+    assert (tmp_path / 'smoke_lpips' / 'checkpoints' / 'final').exists()
+
+
+def test_train_cli_lpips_requires_weights(dataset, tmp_path, monkeypatch):
+    """--lpips with no convertible weights anywhere is a hard error."""
+    from cross_attention_renderer_tpu.data import realestate as re_data
+    monkeypatch.setattr(re_data, 'IMG_H', 64)
+    monkeypatch.setattr(re_data, 'IMG_W', 114)
+    monkeypatch.setattr(re_data, 'CROP', 64)
+    monkeypatch.setenv('LPIPS_WEIGHTS', str(tmp_path / 'missing.npz'))
+    img_root, pose_root = dataset
+    from cross_attention_renderer_tpu.cli import train as train_cli
+    with pytest.raises(FileNotFoundError, match='LPIPS weights not found'):
+        train_cli.main([
+            '--img_root', str(img_root), '--pose_root', str(pose_root),
+            '--logging_root', str(tmp_path), '--experiment_name', 'x',
+            '--batch_size', '1', '--max_steps', '1', '--lpips',
+            *TINY_FLAGS])
+
+
 def test_eval_cli_smoke(dataset, tmp_path, monkeypatch, capsys):
     from cross_attention_renderer_tpu.data import realestate as re_data
     monkeypatch.setattr(re_data, 'IMG_H', 64)

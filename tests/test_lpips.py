@@ -7,26 +7,10 @@ import pytest
 
 from cross_attention_renderer_tpu.losses import lpips as L
 
-VGG_LAYER_IDS = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
-CHANNELS = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
-
-
 @pytest.fixture(scope='module')
-def weights(tmp_path_factory):
-    rng = np.random.default_rng(0)
-    vgg_state, in_ch = {}, 3
-    for lid, ch in zip(VGG_LAYER_IDS, CHANNELS):
-        vgg_state[f'{lid}.weight'] = rng.normal(
-            0, 0.05, (ch, in_ch, 3, 3)).astype(np.float32)
-        vgg_state[f'{lid}.bias'] = np.zeros(ch, np.float32)
-        in_ch = ch
-    lpips_state = {
-        f'lins.{i}.model.1.weight': np.abs(rng.normal(
-            0, 1, (1, c, 1, 1))).astype(np.float32)
-        for i, c in enumerate([64, 128, 256, 512, 512])}
-    out = tmp_path_factory.mktemp('w') / 'lpips_vgg.npz'
-    L.convert_weights(vgg_state, lpips_state, out)
-    return out
+def weights(lpips_npz):
+    # shared random-weight conversion fixture (tests/conftest.py)
+    return lpips_npz
 
 
 def test_lpips_properties(weights):
