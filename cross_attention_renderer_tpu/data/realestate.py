@@ -484,7 +484,8 @@ def trajectory_scene(scene_path, pose_dir, views: int = 2,
 
 def batch_iterator(dataset, batch_size: int, seed: int = 0,
                    to_device: bool = True, num_workers: int = 0,
-                   prefetch: int = 2) -> Iterator[dict]:
+                   prefetch: int = 2,
+                   shard: tuple[int, int] = (0, 1)) -> Iterator[dict]:
     """Deterministic sharded-shuffle batch iterator (replaces the reference's
     8-worker-per-rank torch DataLoader, train_realestate10k.py:80-86).
 
@@ -492,9 +493,21 @@ def batch_iterator(dataset, batch_size: int, seed: int = 0,
     a background thread, keeping up to ``prefetch`` device-ready batches
     ahead of the training step — input decode (which runs GIL-free in the
     native C++ core) overlaps TPU compute instead of serializing with it.
+
+    ``shard=(process_index, process_count)``: multi-host input sharding.
+    ``batch_size`` stays the GLOBAL batch; every process draws the same
+    shuffle (same seed) and yields only its contiguous
+    ``batch_size // process_count`` rows of each global batch — the
+    deterministic split that replaces the reference's per-rank independent
+    full-dataset shuffle (train_realestate10k.py:80-86). Item serials stay
+    globally unique so seeded augmentations differ across processes' rows.
     """
     import jax
     import jax.numpy as jnp
+    pid, nproc = shard
+    assert 0 <= pid < nproc, shard
+    assert batch_size % nproc == 0, (batch_size, nproc)
+    local_bs = batch_size // nproc
     rng = np.random.default_rng(seed)
     n = len(dataset)
     seeded = getattr(dataset, 'getitem_seeded', None)
@@ -506,9 +519,11 @@ def batch_iterator(dataset, batch_size: int, seed: int = 0,
         while True:
             order = rng.permutation(n)
             for i in range(0, n - batch_size + 1, batch_size):
-                for j in order[i:i + batch_size]:
-                    yield int(j), serial
-                    serial += 1
+                chunk = order[i:i + batch_size]
+                for k, j in enumerate(chunk[pid * local_bs:
+                                            (pid + 1) * local_bs]):
+                    yield int(j), serial + pid * local_bs + k
+                serial += batch_size
 
     def fetch(job: tuple) -> dict:
         idx, serial = job
@@ -526,7 +541,7 @@ def batch_iterator(dataset, batch_size: int, seed: int = 0,
     idxs = index_stream()
     if num_workers <= 0:
         while True:
-            yield assemble([fetch(next(idxs)) for _ in range(batch_size)])
+            yield assemble([fetch(next(idxs)) for _ in range(local_bs)])
         return
 
     import queue
@@ -541,10 +556,10 @@ def batch_iterator(dataset, batch_size: int, seed: int = 0,
             with ThreadPoolExecutor(num_workers) as pool:
                 pending: deque = deque()
                 while not stop.is_set():
-                    while len(pending) < batch_size * (prefetch + 1):
+                    while len(pending) < local_bs * (prefetch + 1):
                         pending.append(pool.submit(fetch, next(idxs)))
                     items = [pending.popleft().result()
-                             for _ in range(batch_size)]
+                             for _ in range(local_bs)]
                     batch = assemble(items)
                     while not stop.is_set():
                         try:
