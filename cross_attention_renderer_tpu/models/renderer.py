@@ -114,6 +114,15 @@ class CrossAttentionRenderer(nn.Module):
     # kernel does that math in VMEM for free and beats the XLA path
     # (457.9 vs 475.5 ms per full image); on CPU the jnp path runs.
     fused_attention: Optional[bool] = None
+    # Use the fused Pallas exchange epilogue (ops/gather_epilogue.py).
+    # None = auto: ON on TPU (production render hot path), overridable via
+    # CAR_FUSED_EPILOGUE. The trainer clones the model with both fused_*
+    # fields False: the kernels' custom VJPs recompute the jnp forward in
+    # the backward anyway, and the flagship batch-12 train program with the
+    # kernels inlined crashes the TPU compiler's register allocator
+    # (BENCH_NOTES round 4) — the jnp path is the measured training
+    # configuration.
+    fused_epilogue: Optional[bool] = None
     # Run both pyramid gathers on a row-sorted sample stream (Pallas windowed
     # gather, ops/sorted_gather.py) instead of XLA row-take. None = auto:
     # enabled on TPU for eval-scale ray counts on the multi-view latent-
@@ -539,8 +548,11 @@ class CrossAttentionRenderer(nn.Module):
 
         Default ON on TPU — it is the production hot path; the op itself
         falls back to its jnp reference when block shapes don't divide.
-        ``CAR_FUSED_EPILOGUE=0`` forces the unfused SplitDense path."""
+        ``fused_epilogue=False`` (the trainer's clone) or
+        ``CAR_FUSED_EPILOGUE=0`` force the unfused SplitDense path."""
         import os
+        if self.fused_epilogue is not None:
+            return self.fused_epilogue and not self.is_initializing()
         if os.environ.get('CAR_FUSED_EPILOGUE', '1').lower() in ('0',
                                                                  'false'):
             return False
