@@ -125,30 +125,21 @@ def rotate_interpolate(poses: np.ndarray, n: int) -> np.ndarray:
     return out[2:-2]
 
 
-def unposed_scene(sp_params: dict, sg_params: dict, im0: np.ndarray,
-                  im1: np.ndarray, n_poses: int = 80,
-                  sf: float = 1.2) -> dict:
-    """Two RGB images in [0,1] -> scene dict with an interpolated 76-pose
-    query trajectory. Ref: ``get_camera_pose``
-    (load_video_superglue.py:419-506)."""
-    H = W = 256
+def scene_from_matches(mkpts0: np.ndarray, mkpts1: np.ndarray,
+                       im0: np.ndarray, im1: np.ndarray,
+                       n_poses: int = 80, sf: float = 1.2) -> dict:
+    """Matched keypoints + prepared 256² RGB pair -> scene dict.
 
-    def prep(im):
-        h, w = im.shape[:2]
-        if w > h:
-            off = (w - h) // 2
-            im = im[:, off:off + h]
-        from cross_attention_renderer_tpu.data.realestate import _resize
-        return _resize(im, (H, W))
-
-    im0, im1 = prep(im0), prep(im1)
-    gray0 = im0 @ np.array([0.2125, 0.7154, 0.0721])
-    gray1 = im1 @ np.array([0.2125, 0.7154, 0.0721])
-
-    m = match_pair(sp_params, sg_params, gray0.astype(np.float32),
-                   gray1.astype(np.float32))
+    The downstream half of ``get_camera_pose``
+    (load_video_superglue.py:453-506): RANSAC essential pose, context
+    cam2worlds (view 0 = identity, view 1 = inv([R|t]) with translation
+    scaled by 1/sf, :481-483), and the slerp+circle interpolated query
+    trajectory. Split from :func:`unposed_scene` so synthetic
+    known-pose correspondences can drive everything after the learned
+    matcher (tests/test_pose.py)."""
+    H, W = im0.shape[:2]
     K = DEMO_INTRINSICS[:3, :3]
-    ret = estimate_pose(m['mkpts0'], m['mkpts1'], K, K)
+    ret = estimate_pose(mkpts0, mkpts1, K, K)
     if ret is None:
         raise RuntimeError('pose estimation failed (too few matches)')
     R, t, _ = ret
@@ -176,3 +167,29 @@ def unposed_scene(sp_params: dict, sg_params: dict, im0: np.ndarray,
                   'intrinsics': np.tile(intr[None, None], (1, n, 1, 1)),
                   'uv': np.broadcast_to(uv, (1, n) + uv.shape)},
     }
+
+
+def unposed_scene(sp_params: dict, sg_params: dict, im0: np.ndarray,
+                  im1: np.ndarray, n_poses: int = 80,
+                  sf: float = 1.2) -> dict:
+    """Two RGB images in [0,1] -> scene dict with an interpolated 76-pose
+    query trajectory. Ref: ``get_camera_pose``
+    (load_video_superglue.py:419-506)."""
+    H = W = 256
+
+    def prep(im):
+        h, w = im.shape[:2]
+        if w > h:
+            off = (w - h) // 2
+            im = im[:, off:off + h]
+        from cross_attention_renderer_tpu.data.realestate import _resize
+        return _resize(im, (H, W))
+
+    im0, im1 = prep(im0), prep(im1)
+    gray0 = im0 @ np.array([0.2125, 0.7154, 0.0721])
+    gray1 = im1 @ np.array([0.2125, 0.7154, 0.0721])
+
+    m = match_pair(sp_params, sg_params, gray0.astype(np.float32),
+                   gray1.astype(np.float32))
+    return scene_from_matches(m['mkpts0'], m['mkpts1'], im0, im1,
+                              n_poses=n_poses, sf=sf)

@@ -114,6 +114,62 @@ def test_rotate_interpolate_path():
     assert np.isfinite(path).all()
 
 
+def test_unposed_scene_from_known_pose_matches():
+    """Full unposed pipeline downstream of the matcher (VERDICT r3 #8):
+    synthetic correspondences with a KNOWN relative pose -> estimate_pose ->
+    context cam2world assembly -> interpolated trajectory. Asserts the
+    recovered relative camera pose (rotation + translation direction, up to
+    the essential matrix's scale and the reference's 1/sf shrink,
+    load_video_superglue.py:481-483) and that the rendered-path endpoints
+    bracket the two cameras. Weight conversion is then the only untested
+    link of the unposed path (blobs LFS-missing upstream too)."""
+    pytest.importorskip('cv2')
+    rng = np.random.default_rng(5)
+    K = up.DEMO_INTRINSICS[:3, :3]
+    # ground-truth relative pose: world frame == camera-0 frame
+    angle = 0.12
+    R_gt = np.array([[np.cos(angle), 0, np.sin(angle)], [0, 1, 0],
+                     [-np.sin(angle), 0, np.cos(angle)]])
+    t_gt = np.array([0.4, 0.03, 0.05])
+    pts = rng.uniform(-1.5, 1.5, (300, 3))
+    pts[:, 2] = rng.uniform(4, 9, 300)
+    p0 = pts @ K.T
+    k0 = (p0[:, :2] / p0[:, 2:]).astype(np.float64)
+    pts1 = pts @ R_gt.T + t_gt
+    p1 = pts1 @ K.T
+    k1 = (p1[:, :2] / p1[:, 2:]).astype(np.float64)
+
+    im = rng.uniform(0, 1, (256, 256, 3))
+    scene = up.scene_from_matches(k0, k1, im, im, n_poses=80, sf=1.2)
+
+    c2w = scene['context']['cam2world'][0]
+    np.testing.assert_array_equal(c2w[0], np.eye(4))
+    # recovered view-1 cam2world: rotation = R_gt^T (inv of [R|t]),
+    # translation direction = -R_gt^T t_gt (scale is unobservable; the
+    # demo fixes it to |t|=1/sf)
+    R_rec = c2w[1, :3, :3]
+    ang_err = np.degrees(np.arccos(
+        np.clip((np.trace(R_rec.T @ R_gt.T) - 1) / 2, -1, 1)))
+    assert ang_err < 3.0, ang_err
+    t_rec = c2w[1, :3, 3]
+    want_dir = -(R_gt.T @ t_gt)
+    want_dir /= np.linalg.norm(want_dir)
+    assert float(t_rec / np.linalg.norm(t_rec) @ want_dir) > 0.98
+    np.testing.assert_allclose(np.linalg.norm(t_rec), 1 / 1.2, rtol=1e-6)
+
+    # trajectory: 76 poses (2 trimmed each end), orthonormal rotations,
+    # translations sweeping the baseline between the two cameras
+    traj = scene['query']['cam2world'][0]
+    assert traj.shape == (76, 4, 4)
+    rr = traj[:, :3, :3]
+    assert np.abs(rr @ rr.transpose(0, 2, 1) - np.eye(3)).max() < 1e-5
+    proj = traj[:, :3, 3] @ (t_rec / np.linalg.norm(t_rec))
+    assert proj[0] < proj[-1]                      # moves toward camera 1
+    assert proj.min() > -0.2 and proj.max() < np.linalg.norm(t_rec) + 0.2
+    # query uv grid covers the full 256^2 image for every pose
+    assert scene['query']['uv'].shape == (1, 76, 256 * 256, 2)
+
+
 def test_make_circle_degenerate_axes():
     """make_circle must be finite for baselines parallel to any seed axis."""
     for d in ([1.0, 0, 0], [-1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0],

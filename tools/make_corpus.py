@@ -7,7 +7,19 @@ reference's loader resamples, realestate10k_dataio.py:259-278): a scene
 with no npz, a truncated npz, a scene absent from the pose table, a
 <=10-frame scene, plus 360p frames mixed in (the pre-resize path).
 
-Usage: python tools/make_corpus.py --root /tmp/re10k_corpus [--scenes 50]
+``--world boxes`` makes the corpus GEOMETRICALLY CONSISTENT: every frame
+is an analytic render of that scene's occlusion world
+(data/synthetic.py:_render_boxes) at the pose-table camera, so training
+through the full data path (native loader -> augment -> sampler -> CLI)
+can actually learn view synthesis and held-out eval measures quality, not
+just plumbing. ``--seed_base`` separates train/val world populations.
+
+Usage:
+  python tools/make_corpus.py --root /tmp/re10k_corpus [--scenes 50]
+  python tools/make_corpus.py --root /tmp/re10k_boxes --world boxes \
+      --scenes 40 --defects 0
+  python tools/make_corpus.py --root /tmp/re10k_boxes_val --world boxes \
+      --scenes 8 --seed_base 5000 --defects 0
 """
 
 from __future__ import annotations
@@ -34,6 +46,54 @@ def pose_rows(rng, n):
     return np.asarray(rows)
 
 
+# --- geometrically consistent ('boxes' world) corpus ----------------------
+
+# normalized intrinsics written to the pose table; pixel units follow the
+# reference convention (fx*W, fy*H) — square pixels at 256x455
+FX, FY, CX, CY = 0.9, 1.6, 0.5, 0.5
+
+
+def _world_pose_rows(rng, n):
+    """Smooth wide-baseline camera arc over the world: radius-2 orbit
+    around the origin (the world sits near z=0) with small jitter, the
+    kind of dolly real clips have. Frame 0 vs frame 128 ends up ~35
+    degrees apart — the paper's wide-baseline setting."""
+    from cross_attention_renderer_tpu.data.synthetic import look_at_cam2world
+    rows = []
+    arc = np.deg2rad(40.0)
+    phase = rng.uniform(0, 2 * np.pi)
+    for t in range(n):
+        a = phase + arc * (t / max(n - 1, 1) - 0.5)
+        eye = np.array([1.9 * np.sin(a), 0.25 * np.sin(2.3 * a),
+                        -1.9 * np.cos(a)])
+        eye += rng.normal(0, 0.01, 3)
+        c2w = look_at_cam2world(eye, np.array([0.0, 0.0, 0.0]),
+                                up=(0.0, 1.0, 0.0))
+        w2c = np.linalg.inv(c2w)
+        rows.append([1000 * t, FX, FY, CX, CY, 0, 0,
+                     *w2c[:3, :].reshape(-1)])
+    return np.asarray(rows)
+
+
+def _render_world_frames(scene_seed: int, rows: np.ndarray) -> dict:
+    """Render every pose-table camera against the scene's boxes world."""
+    from cross_attention_renderer_tpu.data.synthetic import (
+        _render_boxes, _world_rects)
+    K = np.eye(4)
+    K[0, 0], K[1, 1] = FX * W, FY * H
+    K[0, 2], K[1, 2] = CX * W, CY * H
+    rects = _world_rects(scene_seed, 6)
+    frames = {}
+    for row in rows:
+        w2c = np.eye(4)
+        w2c[:3, :] = row[7:19].reshape(3, 4)
+        c2w = np.linalg.inv(w2c)
+        rgb = _render_boxes(c2w, K, H, W, rects)       # [-1, 1]
+        frames[f'{int(row[0])}.png'] = np.clip(
+            (rgb + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    return frames
+
+
 def textured(rng, h, w):
     """Cheap structured frames (pure noise defeats any decode caching but
     compresses to nothing visually; gradients + noise is closer to video)."""
@@ -49,25 +109,44 @@ def main():
     ap.add_argument('--root', required=True)
     ap.add_argument('--scenes', type=int, default=50)
     ap.add_argument('--frames', type=int, default=N_FRAMES)
+    ap.add_argument('--world', choices=['noise', 'boxes'], default='noise',
+                    help="'boxes': multi-view-consistent analytic worlds "
+                         "(learnable); 'noise': textured noise (throughput)")
+    ap.add_argument('--seed_base', type=int, default=0,
+                    help='world-seed offset (separate train/val worlds)')
+    ap.add_argument('--defects', type=int, default=1,
+                    help='include the defect-class scenes (0/1)')
     args = ap.parse_args()
 
     root = Path(args.root)
     img_root = root / 'frames'
     img_root.mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.seed_base)
     poses = {}
     total = 0
     for s in range(args.scenes):
         name = f'scene{s:04d}'
         sdir = img_root / name
         sdir.mkdir(exist_ok=True)
-        frames = {}
-        for t in range(args.frames):
-            hw = (360, 640) if (s % 7 == 0 and t % 5 == 0) else (H, W)
-            frames[f'{1000 * t}.png'] = textured(rng, *hw)
+        if args.world == 'boxes':
+            rows = _world_pose_rows(rng, args.frames)
+            frames = _render_world_frames(args.seed_base + s, rows)
+        else:
+            rows = pose_rows(rng, args.frames)
+            frames = {}
+            for t in range(args.frames):
+                hw = (360, 640) if (s % 7 == 0 and t % 5 == 0) else (H, W)
+                frames[f'{1000 * t}.png'] = textured(rng, *hw)
         np.savez(sdir / 'data.npz', **frames)
         total += sum(a.nbytes for a in frames.values())
-        poses[name] = pose_rows(rng, args.frames)
+        poses[name] = rows
+        print(f'{name} done', flush=True)
+
+    if not args.defects:
+        savemat(root / 'poses.mat', poses)
+        print(f'{args.scenes} {args.world} scenes, {total / 1e9:.2f} GB '
+              f'frames at {root}')
+        return
 
     # defect classes
     (img_root / 'scene_no_npz').mkdir(exist_ok=True)
