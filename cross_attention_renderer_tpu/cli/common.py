@@ -39,6 +39,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument('--vit_heads', type=int, default=12)
     p.add_argument('--resnet_layers', type=int, nargs=3, default=(3, 4, 9))
     p.add_argument('--npoints', type=int, default=0)
+    p.add_argument('--dtype', type=str, default='float32',
+                   choices=['float32', 'bfloat16'],
+                   help='compute dtype; bfloat16 trains stably (attention '
+                        'logits/softmax are always f32 — BENCH_NOTES.md '
+                        '"bf16 training: root cause") and is ~2.8x faster '
+                        'on TPU')
     # fast-eval levers (eval/traj only; outputs differ from the reference
     # protocol — see BENCH_NOTES.md roofline and train/evaluation.py)
     p.add_argument('--pruned', type=str, default=None, metavar='C,F',
@@ -114,8 +120,11 @@ class FrameWriter:
 
 
 def build_model(opt):
+    import jax.numpy as jnp
     from cross_attention_renderer_tpu.models import CrossAttentionRenderer
+    dtype = jnp.dtype(getattr(opt, 'dtype', 'float32'))
     return CrossAttentionRenderer(
+        dtype=dtype,
         n_view=opt.views, model=opt.model, no_sample=opt.no_sample,
         no_latent_concat=opt.no_latent_concat, no_multiview=opt.no_multiview,
         no_high_freq=opt.no_high_freq, npoints=opt.npoints,

@@ -56,6 +56,34 @@ def test_train_cli_smoke(dataset, tmp_path, monkeypatch):
     assert (tmp_path / 'smoke' / 'checkpoints' / 'final').exists()
 
 
+def test_dtype_flag_threads_to_model():
+    import jax.numpy as jnp
+    from cross_attention_renderer_tpu.cli.common import (base_parser,
+                                                         build_model)
+    opt = base_parser('t').parse_args(['--dtype', 'bfloat16', *TINY_FLAGS])
+    assert build_model(opt).dtype == jnp.bfloat16
+    opt = base_parser('t').parse_args(TINY_FLAGS)
+    assert build_model(opt).dtype == jnp.float32
+
+
+@pytest.mark.slow
+def test_train_cli_bf16_smoke(dataset, tmp_path, monkeypatch):
+    # bf16 compute via the CLI flag: params/optimizer stay f32 (the
+    # checkpoint is dtype-portable), the train step runs in bfloat16.
+    from cross_attention_renderer_tpu.data import realestate as re_data
+    monkeypatch.setattr(re_data, 'IMG_H', 64)
+    monkeypatch.setattr(re_data, 'IMG_W', 114)
+    monkeypatch.setattr(re_data, 'CROP', 64)
+    img_root, pose_root = dataset
+    from cross_attention_renderer_tpu.cli import train as train_cli
+    train_cli.main([
+        '--img_root', str(img_root), '--pose_root', str(pose_root),
+        '--logging_root', str(tmp_path), '--experiment_name', 'bf16',
+        '--batch_size', '1', '--max_steps', '2', '--query_sparsity', '16',
+        '--dtype', 'bfloat16', *TINY_FLAGS])
+    assert (tmp_path / 'bf16' / 'checkpoints' / 'final').exists()
+
+
 @pytest.mark.slow
 def test_train_cli_lpips_smoke(dataset, tmp_path, monkeypatch, lpips_npz):
     """Stage-2 command (--lpips --depth) end-to-end through the CLI: the

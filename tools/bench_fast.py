@@ -60,6 +60,8 @@ def main():
         'q8': lambda: make_fast_renderer(model, N_BLOCKS, q8=True),
         'all': lambda: make_fast_renderer(model, N_BLOCKS, pruned=pruned,
                                           narrow=narrow, q8=True),
+        'nq8': lambda: make_fast_renderer(model, N_BLOCKS, narrow=narrow,
+                                          q8=True),
     }
 
     print(f'flagship 256², bf16, pruned={pruned}, narrow={narrow} '
