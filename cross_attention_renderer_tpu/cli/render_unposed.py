@@ -1,13 +1,15 @@
 """Unposed two-image demo CLI.
 
 TPU-native replacement for ``render_unposed_traj.py``: two arbitrary images
--> SuperPoint/SuperGlue matching -> RANSAC essential-matrix pose -> 76-pose
+-> keypoint matching -> RANSAC essential-matrix pose -> 76-pose
 interpolated trajectory -> mp4.
 
-Requires converted SuperPoint/SuperGlue weights (the reference repo's .pth
-blobs are git-LFS-missing; convert upstream MagicLeap checkpoints with
-``pose.superpoint.convert_weights`` / ``pose.superglue.convert_weights`` and
-point --superpoint_weights / --superglue_weights at the npz files).
+Matching frontend: SuperPoint+SuperGlue when converted weights are given
+(the reference repo's .pth blobs are git-LFS-missing; convert upstream
+MagicLeap checkpoints with ``pose.superpoint.convert_weights`` /
+``pose.superglue.convert_weights``), otherwise the weights-free classical
+frontend (``pose.classical``: Harris corners + NCC patches) — so the demo
+runs out of the box, which the reference's cannot.
 """
 
 from __future__ import annotations
@@ -22,8 +24,10 @@ def main(argv=None):
     p = base_parser('Render a trajectory from an unposed image pair')
     p.add_argument('--im1', type=str, required=True)
     p.add_argument('--im2', type=str, required=True)
-    p.add_argument('--superpoint_weights', type=str, required=True)
-    p.add_argument('--superglue_weights', type=str, required=True)
+    p.add_argument('--superpoint_weights', type=str, default=None,
+                   help='converted SuperPoint npz; omit (with '
+                        '--superglue_weights) for the classical frontend')
+    p.add_argument('--superglue_weights', type=str, default=None)
     p.add_argument('--out', type=str, default='unposed.mp4')
     p.add_argument('--ray_chunk', type=int, default=8192)
     p.add_argument('--sf', type=float, default=1.2,
@@ -39,8 +43,13 @@ def main(argv=None):
     from cross_attention_renderer_tpu.train.evaluation import (
         make_image_renderer)
 
-    sp_params = dict(np.load(opt.superpoint_weights))
-    sg_params = dict(np.load(opt.superglue_weights))
+    sp_params = sg_params = None
+    if opt.superpoint_weights and opt.superglue_weights:
+        sp_params = dict(np.load(opt.superpoint_weights))
+        sg_params = dict(np.load(opt.superglue_weights))
+    else:
+        print('no SuperPoint/SuperGlue weights given -> classical '
+              'Harris+NCC frontend (pose/classical.py)', flush=True)
 
     im0 = np.asarray(imageio.imread(opt.im1), np.float32) / 255.0
     im1 = np.asarray(imageio.imread(opt.im2), np.float32) / 255.0

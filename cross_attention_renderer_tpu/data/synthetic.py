@@ -34,11 +34,24 @@ def make_intrinsics(H: int, W: int, focal_scale: float = 1.0) -> np.ndarray:
 
 
 def _plane_color(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """Smooth deterministic texture on the z=0 plane, range [-1, 1]."""
+    """Deterministic multi-octave texture on the z=0 plane, range [-1, 1].
+
+    Base octave is smooth; the two fine octaves put real high-frequency
+    content in the images (periods ~40 px and ~12 px at the 256² operating
+    distance) — real video frames are sharp, classical corner detection
+    (pose/classical.py) needs gradients to grip, and without fine texture
+    low epipolar sample counts trivially saturate quality tables."""
     r = np.sin(2.1 * x) * np.cos(1.3 * y)
     g = np.sin(1.7 * x + 0.5) * np.sin(2.9 * y)
     b = np.cos(1.1 * x * y + 1.0)
-    return np.stack([r, g, b], -1)
+    fine = (0.6 * np.sin(16.3 * x + 0.7) * np.cos(14.9 * y)
+            + 0.4 * np.sin(61.0 * x + 2.0 * y + 0.3)
+            * np.cos(57.0 * y - 3.0 * x))
+    fine2 = (0.6 * np.cos(15.1 * y - 1.1) * np.sin(17.7 * x)
+             + 0.4 * np.cos(63.0 * y + 1.7 * x) * np.sin(55.0 * x + 0.9))
+    base = np.stack([r, g, b], -1)
+    detail = np.stack([fine, fine2, 0.5 * (fine - fine2)], -1)
+    return 0.7 * base + 0.3 * detail
 
 
 def _render_plane(c2w: np.ndarray, K: np.ndarray, H: int, W: int

@@ -4,7 +4,9 @@ Submodules keep their names (``pose.superpoint.superpoint(...)``); only the
 host-pipeline helpers are re-exported here.
 """
 
-from cross_attention_renderer_tpu.pose import superglue, superpoint, unposed
+from cross_attention_renderer_tpu.pose import (classical, superglue,
+                                               superpoint, unposed)
+from cross_attention_renderer_tpu.pose.classical import match_pair_classical
 from cross_attention_renderer_tpu.pose.unposed import (
     estimate_pose,
     match_pair,
@@ -12,5 +14,6 @@ from cross_attention_renderer_tpu.pose.unposed import (
     unposed_scene,
 )
 
-__all__ = ['estimate_pose', 'match_pair', 'rotate_interpolate', 'superglue',
+__all__ = ['classical', 'estimate_pose', 'match_pair',
+           'match_pair_classical', 'rotate_interpolate', 'superglue',
            'superpoint', 'unposed', 'unposed_scene']

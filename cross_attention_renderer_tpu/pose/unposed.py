@@ -169,12 +169,17 @@ def scene_from_matches(mkpts0: np.ndarray, mkpts1: np.ndarray,
     }
 
 
-def unposed_scene(sp_params: dict, sg_params: dict, im0: np.ndarray,
-                  im1: np.ndarray, n_poses: int = 80,
+def unposed_scene(sp_params: Optional[dict], sg_params: Optional[dict],
+                  im0: np.ndarray, im1: np.ndarray, n_poses: int = 80,
                   sf: float = 1.2) -> dict:
     """Two RGB images in [0,1] -> scene dict with an interpolated 76-pose
     query trajectory. Ref: ``get_camera_pose``
-    (load_video_superglue.py:419-506)."""
+    (load_video_superglue.py:419-506).
+
+    With ``sp_params``/``sg_params`` None, the weights-free classical
+    frontend (``pose.classical``: Harris corners + NCC patches) replaces
+    SuperPoint+SuperGlue — the learned blobs are LFS-missing in the
+    reference repo itself, so this is the out-of-the-box path."""
     H = W = 256
 
     def prep(im):
@@ -189,7 +194,13 @@ def unposed_scene(sp_params: dict, sg_params: dict, im0: np.ndarray,
     gray0 = im0 @ np.array([0.2125, 0.7154, 0.0721])
     gray1 = im1 @ np.array([0.2125, 0.7154, 0.0721])
 
-    m = match_pair(sp_params, sg_params, gray0.astype(np.float32),
-                   gray1.astype(np.float32))
+    if sp_params is None or sg_params is None:
+        from cross_attention_renderer_tpu.pose.classical import (
+            match_pair_classical)
+        m = match_pair_classical(gray0.astype(np.float32),
+                                 gray1.astype(np.float32))
+    else:
+        m = match_pair(sp_params, sg_params, gray0.astype(np.float32),
+                       gray1.astype(np.float32))
     return scene_from_matches(m['mkpts0'], m['mkpts1'], im0, im1,
                               n_poses=n_poses, sf=sf)

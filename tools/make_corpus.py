@@ -14,12 +14,22 @@ through the full data path (native loader -> augment -> sampler -> CLI)
 can actually learn view synthesis and held-out eval measures quality, not
 just plumbing. ``--seed_base`` separates train/val world populations.
 
+Generation is chunk-parallel: each invocation writes scenes
+[--start, --start + --scenes) plus a ``poses_part<start>.mat``; a final
+``--merge`` pass combines the parts into the ``poses.mat`` the loader
+reads. Per-scene rng seeding keeps any chunking deterministic.
+
 Usage:
-  python tools/make_corpus.py --root /tmp/re10k_corpus [--scenes 50]
-  python tools/make_corpus.py --root /tmp/re10k_boxes --world boxes \
-      --scenes 40 --defects 0
+  # 4-way parallel 40-scene corpus with defect scenes in chunk 0:
+  for s in 0 10 20 30; do
+    python tools/make_corpus.py --root /tmp/re10k_boxes --world boxes \
+        --start $s --scenes 10 --defects $((s == 0)) &
+  done; wait
+  python tools/make_corpus.py --root /tmp/re10k_boxes --merge
+  # held-out val worlds:
   python tools/make_corpus.py --root /tmp/re10k_boxes_val --world boxes \
       --scenes 8 --seed_base 5000 --defects 0
+  python tools/make_corpus.py --root /tmp/re10k_boxes_val --merge
 """
 
 from __future__ import annotations
@@ -116,15 +126,36 @@ def main():
                     help='world-seed offset (separate train/val worlds)')
     ap.add_argument('--defects', type=int, default=1,
                     help='include the defect-class scenes (0/1)')
+    ap.add_argument('--start', type=int, default=0,
+                    help='first scene index of this chunk (parallel '
+                         'generation: run N processes with disjoint '
+                         '--start ranges, then --merge)')
+    ap.add_argument('--merge', action='store_true',
+                    help='merge poses_part*.mat chunks into poses.mat '
+                         'and exit')
     args = ap.parse_args()
 
     root = Path(args.root)
+    if args.merge:
+        poses = {}
+        parts = sorted(root.glob('poses_part*.mat'))
+        from scipy.io import loadmat
+        for part in parts:
+            d = loadmat(str(part))
+            poses.update({k: v for k, v in d.items()
+                          if not k.startswith('__')})
+        savemat(root / 'poses.mat', poses)
+        print(f'merged {len(parts)} parts, {len(poses)} scenes '
+              f'-> {root / "poses.mat"}')
+        return
+
     img_root = root / 'frames'
     img_root.mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(args.seed_base)
     poses = {}
     total = 0
-    for s in range(args.scenes):
+    for s in range(args.start, args.start + args.scenes):
+        # per-scene rng: chunk-parallel generation stays deterministic
+        rng = np.random.default_rng(args.seed_base * 100003 + s)
         name = f'scene{s:04d}'
         sdir = img_root / name
         sdir.mkdir(exist_ok=True)
@@ -143,12 +174,13 @@ def main():
         print(f'{name} done', flush=True)
 
     if not args.defects:
-        savemat(root / 'poses.mat', poses)
-        print(f'{args.scenes} {args.world} scenes, {total / 1e9:.2f} GB '
-              f'frames at {root}')
+        savemat(root / f'poses_part{args.start:04d}.mat', poses)
+        print(f'{args.scenes} {args.world} scenes (chunk @{args.start}), '
+              f'{total / 1e9:.2f} GB frames at {root}')
         return
 
-    # defect classes
+    # defect classes (their own pose-part; rng independent of the scenes)
+    rng = np.random.default_rng(args.seed_base * 100003 + 99991)
     (img_root / 'scene_no_npz').mkdir(exist_ok=True)
     poses['scene_no_npz'] = pose_rows(rng, 20)
 
@@ -189,9 +221,9 @@ def main():
                 for t in range(20)})
     poses['scene_odd_res'] = pose_rows(rng, 20)
 
-    savemat(root / 'poses.mat', poses)
-    print(f'{args.scenes} scenes + 6 defects, {total / 1e9:.2f} GB frames '
-          f'at {root}')
+    savemat(root / f'poses_part{args.start:04d}.mat', poses)
+    print(f'{args.scenes} scenes + 6 defects (chunk @{args.start}), '
+          f'{total / 1e9:.2f} GB frames at {root}')
 
 
 if __name__ == '__main__':
