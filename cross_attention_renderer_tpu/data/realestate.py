@@ -440,7 +440,13 @@ def trajectory_scene(scene_path, pose_dir, views: int = 2,
                      n_frames: int = 128) -> dict:
     """Full camera trajectory for video rendering. Ref: ``get_camera_pose``
     (realestate10k_dataio.py:104-188). Query = frames 1..n-1; context =
-    endpoints (+ midpoint at 3 views). Frames must already be square 256²."""
+    endpoints (+ midpoint at 3 views).
+
+    ``pose_dir`` is either a directory of per-scene ``<scene>.txt`` pose
+    files (the RealEstate10K distribution format) or a ``poses.mat`` scene
+    table (the scraped-corpus layout, realestate10k_dataio.py:193-215).
+    Letterboxed 256x455 frames are center square-cropped like the
+    training loader."""
     scene_path = Path(scene_path)
     data = np.load(sorted(scene_path.glob('*.npz'))[0])
     files = list(data.keys())
@@ -449,12 +455,19 @@ def trajectory_scene(scene_path, pose_dir, views: int = 2,
     files, ts = np.array(files)[order], ts[order]
 
     rows = {}
-    with open(Path(pose_dir) / f'{scene_path.name}.txt') as f:
-        for i, line in enumerate(f):
-            if i == 0:
-                continue
-            row = np.array([float(x) for x in line.split()])
+    pose_dir = Path(pose_dir)
+    if pose_dir.suffix == '.mat':
+        from scipy.io import loadmat
+        table = loadmat(str(pose_dir))[scene_path.name]
+        for row in np.asarray(table, np.float64):
             rows[int(row[0])] = row
+    else:
+        with open(pose_dir / f'{scene_path.name}.txt') as f:
+            for i, line in enumerate(f):
+                if i == 0:
+                    continue
+                row = np.array([float(x) for x in line.split()])
+                rows[int(row[0])] = row
     n = min(n_frames, len(files))
 
     def frame(i):
@@ -463,6 +476,8 @@ def trajectory_scene(scene_path, pose_dir, views: int = 2,
         intr[0, 2] /= IMG_W / CROP
         intr[1, 2] /= IMG_H / CROP
         rgb = data[files[i]].astype(np.float32) / 127.5 - 1.0
+        if rgb.shape[0] != rgb.shape[1]:
+            rgb = square_crop(rgb)
         return rgb, intr.astype(np.float32), cam.c2w.astype(np.float32)
 
     q = [frame(i) for i in range(1, n)]

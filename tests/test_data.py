@@ -112,6 +112,15 @@ def test_trajectory_scene(dataset_dir):
     assert traj['query']['cam2world'].shape[1] == 127
     assert traj['context']['rgb'].shape[1] == 2
 
+    # poses.mat scene-table path (the scraped-corpus layout): identical
+    # trajectory, letterboxed 256x455 frames center square-cropped
+    traj2 = re_data.trajectory_scene(scene, pose_root, views=2)
+    np.testing.assert_allclose(traj2['query']['cam2world'],
+                               traj['query']['cam2world'])
+    np.testing.assert_allclose(traj2['query']['intrinsics'],
+                               traj['query']['intrinsics'])
+    assert traj2['context']['rgb'].shape[-3:-1] == (256, 256)
+
 
 def test_batch_iterator(dataset_dir):
     img_root, pose_root = dataset_dir
