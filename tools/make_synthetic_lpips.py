@@ -26,8 +26,12 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import sys
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 # torchvision vgg16().features conv layer indices and (out, in) channels
 VGG16_CONVS = [
