@@ -139,18 +139,34 @@ def main(argv=None):
         from cross_attention_renderer_tpu.train.evaluation import (
             make_summary_renderer)
         encode_jit = jax.jit(lambda p, s: model.apply(p, s, method='encode'))
-        summary_render = make_summary_renderer(model, n_chunks=8)
+        summary_render = make_summary_renderer(model, n_chunks=4)
 
         def val_fn(state, step):
             import numpy as _np
-            # full-image val render (in-jit scan over ray blocks) — the
-            # whole frame, not a ray strip, is the training-time visual check
+            # Full-frame val render (in-jit scan over ray blocks) — a whole
+            # image, not a ray strip, is the training-time visual check. A
+            # strided low-res grid keeps the render's gather temps small
+            # enough to coexist with the f32 train state + Adam moments in
+            # HBM (a full 256² flagship render OOMed a v5e mid-soak), and a
+            # failed diagnostic must never kill a multi-day run.
             scene = jax.tree.map(lambda x: _np.asarray(x)[None], val_ds[0])
-            z = encode_jit(state.params, scene)
-            out = summary_render(state.params, scene, z,
-                                 scene['query']['uv'])
-            write_summaries(writer, step, scene,
-                            jax.tree.map(_np.asarray, out), prefix='val_')
+            H, W = scene['context']['rgb'].shape[2:4]
+            side, stride = 128, max(1, H // 128)
+            uv = scene['query']['uv'].reshape(1, 1, H, W, 2)
+            uv = _np.ascontiguousarray(
+                uv[:, :, ::stride, ::stride][:, :, :side, :side]
+            ).reshape(1, 1, -1, 2)
+            try:
+                z = encode_jit(state.params, scene)
+                out = summary_render(state.params, scene, z, uv)
+                s = dict(scene)
+                s['query'] = dict(scene['query'])
+                s['query']['uv'] = uv
+                write_summaries(writer, step, s,
+                                jax.tree.map(_np.asarray, out), prefix='val_')
+            except Exception as e:  # diagnostics are best-effort
+                print(f'WARNING: val summary failed at step {step}: {e!r}',
+                      flush=True)
 
     fit(model, cfg, data, opt.max_steps, ckpt_dir=str(ckpt_dir), mesh=mesh,
         state=state, log_fn=log_fn, val_fn=val_fn, lpips_fn=lpips_fn)

@@ -104,6 +104,30 @@ def test_train_cli_lpips_smoke(dataset, tmp_path, monkeypatch, lpips_npz):
     assert (tmp_path / 'smoke_lpips' / 'checkpoints' / 'final').exists()
 
 
+@pytest.mark.slow
+def test_train_cli_val_summary_smoke(dataset, tmp_path, monkeypatch):
+    """--val_img_root drives the full-frame val summary (strided low-res
+    grid; cli/train.py val_fn) and writes TB events without touching the
+    training loop's outcome."""
+    pytest.importorskip('tensorboardX')
+    from cross_attention_renderer_tpu.data import realestate as re_data
+    monkeypatch.setattr(re_data, 'IMG_H', 64)
+    monkeypatch.setattr(re_data, 'IMG_W', 114)
+    monkeypatch.setattr(re_data, 'CROP', 64)
+    img_root, pose_root = dataset
+    from cross_attention_renderer_tpu.cli import train as train_cli
+    train_cli.main([
+        '--img_root', str(img_root), '--pose_root', str(pose_root),
+        '--val_img_root', str(img_root), '--val_pose_root', str(pose_root),
+        '--logging_root', str(tmp_path), '--experiment_name', 'val_smoke',
+        '--batch_size', '1', '--max_steps', '2', '--query_sparsity', '16',
+        '--steps_til_summary', '2', *TINY_FLAGS])
+    ev = list((tmp_path / 'val_smoke' / 'summaries').glob('events*'))
+    assert ev, 'val summary wrote no tensorboard events'
+    # the event file must be non-trivial (images written, not just header)
+    assert ev[0].stat().st_size > 1000
+
+
 def test_train_cli_lpips_requires_weights(dataset, tmp_path, monkeypatch):
     """--lpips with no convertible weights anywhere is a hard error."""
     from cross_attention_renderer_tpu.data import realestate as re_data
