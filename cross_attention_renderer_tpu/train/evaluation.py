@@ -499,6 +499,8 @@ def evaluate_scene(model, params, scene, H: int = 256, W: int = 256,
     metrics = eval_image_metrics(pred01, target01, mask)
     out = {k: np.asarray(v) for k, v in metrics.items()}
     if lpips_fn is not None:
-        out['lpips'] = float(np.asarray(lpips_fn(
-            (metrics['pred'] - 0.5) * 2.0, (metrics['target'] - 0.5) * 2.0)))
+        # lpips_distance is batched NHWC in [-1, 1]
+        pred = (np.asarray(metrics['pred'])[None] - 0.5) * 2.0
+        target = (np.asarray(metrics['target'])[None] - 0.5) * 2.0
+        out['lpips'] = float(np.asarray(lpips_fn(pred, target))[0])
     return out

@@ -145,11 +145,14 @@ def test_train_cli_lpips_requires_weights(dataset, tmp_path, monkeypatch):
             *TINY_FLAGS])
 
 
-def test_eval_cli_smoke(dataset, tmp_path, monkeypatch, capsys):
+def test_eval_cli_smoke(dataset, tmp_path, monkeypatch, capsys, lpips_npz):
     from cross_attention_renderer_tpu.data import realestate as re_data
     monkeypatch.setattr(re_data, 'IMG_H', 64)
     monkeypatch.setattr(re_data, 'IMG_W', 114)
     monkeypatch.setattr(re_data, 'CROP', 64)
+    # real (random-weight) LPIPS through the eval path — the batched-NHWC
+    # contract of evaluate_scene's lpips call regressed once on chip
+    monkeypatch.setenv('LPIPS_WEIGHTS', str(lpips_npz))
     # full_uv_grid is captured at dataset init; rebuild for the 64 crop
     img_root, pose_root = dataset
     from cross_attention_renderer_tpu.cli import eval as eval_cli
@@ -168,6 +171,7 @@ def test_eval_cli_smoke(dataset, tmp_path, monkeypatch, capsys):
         '--max_scenes', '1', '--n_chunks', '4', *TINY_FLAGS])
     out = capsys.readouterr().out
     assert 'psnr=' in out and 'ssim=' in out
+    assert 'lpips=' in out, f'LPIPS missing from eval output: {out}'
 
 
 def test_fast_eval_flags_parse():
