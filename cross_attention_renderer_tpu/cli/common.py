@@ -60,7 +60,7 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument('--fast', action='store_true',
                    help='preset composing all three fast-eval levers at '
                         'their documented defaults (docs/FAST_EVAL.md): '
-                        '--pruned 16,24 --narrow 128,128,64 --q8; '
+                        '--pruned 8,16 --narrow 128,128,64 --q8; '
                         'explicit flags override their part of the preset')
     return p
 
@@ -79,8 +79,13 @@ def fast_eval_kwargs(opt) -> dict:
               if getattr(opt, 'narrow', None) else None)
     pruned = parse_pruned(opt)
     q8 = bool(getattr(opt, 'q8', False))
+    # Preset priced on held-out flagship quality (BENCH_NOTES.md round-4
+    # held-out table): pruned 8,16 costs 0.78 dB vs dense at 1.86x dense
+    # throughput; the conservative 16,24 point costs 0.67 dB but is
+    # SLOWER than dense full-image (its coarse pass outweighs the saved
+    # fine samples), so 8,16 dominates it.
     if getattr(opt, 'fast', False):
-        pruned = pruned or (16, 24)
+        pruned = pruned or (8, 16)
         narrow = narrow or (128, 128, 64)
         q8 = True
     return dict(pruned=pruned, narrow=narrow, q8=q8)

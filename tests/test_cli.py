@@ -194,7 +194,7 @@ def test_fast_preset_kwargs():
                                                          fast_eval_kwargs)
     p = base_parser('t')
     kw = fast_eval_kwargs(p.parse_args(['--fast']))
-    assert kw == dict(pruned=(16, 24), narrow=(128, 128, 64), q8=True)
+    assert kw == dict(pruned=(8, 16), narrow=(128, 128, 64), q8=True)
     kw = fast_eval_kwargs(p.parse_args(['--fast', '--pruned', '8,8']))
     assert kw['pruned'] == (8, 8) and kw['narrow'] == (128, 128, 64)
     kw = fast_eval_kwargs(p.parse_args([]))

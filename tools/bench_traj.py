@@ -28,7 +28,7 @@ def main():
     ap.add_argument('--q8', action='store_true')
     args = ap.parse_args()
     pruned = (tuple(int(x) for x in args.pruned.split(','))
-              if args.pruned else ((16, 24) if args.fast else None))
+              if args.pruned else ((8, 16) if args.fast else None))
     narrow = (tuple(int(x) for x in args.narrow.split(','))
               if args.narrow else ((128, 128, 64) if args.fast else None))
     q8 = args.q8 or args.fast
