@@ -47,6 +47,14 @@ def main(argv=None):
     if opt.superpoint_weights and opt.superglue_weights:
         sp_params = dict(np.load(opt.superpoint_weights))
         sg_params = dict(np.load(opt.superglue_weights))
+    elif opt.superpoint_weights or opt.superglue_weights:
+        # The learned frontend is a SuperPoint -> SuperGlue pipeline; one
+        # half alone cannot run, and silently dropping the provided file
+        # would look like the weights were used. Fail loudly instead.
+        raise SystemExit(
+            'error: --superpoint_weights and --superglue_weights must be '
+            'given together (the learned frontend is a pipeline); omit '
+            'both for the classical Harris+NCC frontend')
     else:
         print('no SuperPoint/SuperGlue weights given -> classical '
               'Harris+NCC frontend (pose/classical.py)', flush=True)

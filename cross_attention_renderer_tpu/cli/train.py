@@ -149,14 +149,18 @@ def main(argv=None):
             # enough to coexist with the f32 train state + Adam moments in
             # HBM (a full 256² flagship render OOMed a v5e mid-soak), and a
             # failed diagnostic must never kill a multi-day run.
-            scene = jax.tree.map(lambda x: _np.asarray(x)[None], val_ds[0])
-            H, W = scene['context']['rgb'].shape[2:4]
-            side, stride = 128, max(1, H // 128)
-            uv = scene['query']['uv'].reshape(1, 1, H, W, 2)
-            uv = _np.ascontiguousarray(
-                uv[:, :, ::stride, ::stride][:, :, :side, :side]
-            ).reshape(1, 1, -1, 2)
             try:
+                # Scene load + uv slicing live INSIDE the try: a defective
+                # val scene or a query uv that is not one full H*W grid must
+                # log-and-continue like any other failed diagnostic.
+                scene = jax.tree.map(lambda x: _np.asarray(x)[None],
+                                     val_ds[0])
+                H, W = scene['context']['rgb'].shape[2:4]
+                side, stride = 128, max(1, H // 128)
+                uv = scene['query']['uv'].reshape(1, 1, H, W, 2)
+                uv = _np.ascontiguousarray(
+                    uv[:, :, ::stride, ::stride][:, :, :side, :side]
+                ).reshape(1, 1, -1, 2)
                 z = encode_jit(state.params, scene)
                 out = summary_render(state.params, scene, z, uv)
                 s = dict(scene)

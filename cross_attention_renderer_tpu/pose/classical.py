@@ -22,6 +22,8 @@ derived from the reference implementation.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -139,6 +141,19 @@ def match_descriptors(d0: Array, d1: Array, valid0: Array, valid1: Array,
     return jnp.where(ok, best1, -1).astype(jnp.int32), s_best
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _match_pair_jit(g0, g1, max_keypoints: int, min_score: float):
+    # Module-level jit (static over the config) so per-pair callers — e.g.
+    # a video-frame loop — reuse one compiled executable instead of
+    # retracing through a fresh closure every call.
+    k0, s0, v0 = detect(g0, max_keypoints)
+    k1, s1, v1 = detect(g1, max_keypoints)
+    d0 = describe(g0, k0)
+    d1 = describe(g1, k1)
+    m, conf = match_descriptors(d0, d1, v0, v1, min_score=min_score)
+    return k0, k1, m, conf
+
+
 def match_pair_classical(image0: np.ndarray, image1: np.ndarray,
                          max_keypoints: int = 512,
                          min_score: float = 0.6) -> dict:
@@ -146,17 +161,8 @@ def match_pair_classical(image0: np.ndarray, image1: np.ndarray,
     ``unposed.match_pair`` (drop-in for the learned frontend)."""
     g0 = jnp.asarray(image0, jnp.float32)
     g1 = jnp.asarray(image1, jnp.float32)
-
-    @jax.jit
-    def run(g0, g1):
-        k0, s0, v0 = detect(g0, max_keypoints)
-        k1, s1, v1 = detect(g1, max_keypoints)
-        d0 = describe(g0, k0)
-        d1 = describe(g1, k1)
-        m, conf = match_descriptors(d0, d1, v0, v1, min_score=min_score)
-        return k0, k1, m, conf
-
-    k0, k1, m, conf = (np.asarray(a) for a in run(g0, g1))
+    k0, k1, m, conf = (np.asarray(a) for a in _match_pair_jit(
+        g0, g1, max_keypoints, float(min_score)))
     valid = m > -1
     return {'mkpts0': k0[valid], 'mkpts1': k1[m[valid]],
             'mconf': conf[valid], 'keypoints0': k0, 'keypoints1': k1,

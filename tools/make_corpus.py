@@ -141,9 +141,17 @@ def main():
         parts = sorted(root.glob('poses_part*.mat'))
         from scipy.io import loadmat
         for part in parts:
-            d = loadmat(str(part))
-            poses.update({k: v for k, v in d.items()
-                          if not k.startswith('__')})
+            d = {k: v for k, v in loadmat(str(part)).items()
+                 if not k.startswith('__')}
+            # stale parts from an earlier run with different chunking or
+            # seed_base silently shadow each other — make that loud
+            dup = sorted(set(d) & set(poses))
+            if dup:
+                print(f'WARNING: {part.name} redefines {len(dup)} scene(s) '
+                      f'from an earlier part (e.g. {dup[0]}) — stale '
+                      f'poses_part*.mat from a previous run with different '
+                      f'chunking? Delete the old parts and re-merge.')
+            poses.update(d)
         savemat(root / 'poses.mat', poses)
         print(f'merged {len(parts)} parts, {len(poses)} scenes '
               f'-> {root / "poses.mat"}')
@@ -173,8 +181,16 @@ def main():
         poses[name] = rows
         print(f'{name} done', flush=True)
 
-    if not args.defects:
+    def write_poses():
         savemat(root / f'poses_part{args.start:04d}.mat', poses)
+        if args.start == 0:
+            # single-invocation workflow: the loader needs poses.mat, so the
+            # default chunk writes it directly; multi-chunk runs overwrite
+            # it with --merge afterwards.
+            savemat(root / 'poses.mat', poses)
+
+    if not args.defects:
+        write_poses()
         print(f'{args.scenes} {args.world} scenes (chunk @{args.start}), '
               f'{total / 1e9:.2f} GB frames at {root}')
         return
@@ -221,7 +237,7 @@ def main():
                 for t in range(20)})
     poses['scene_odd_res'] = pose_rows(rng, 20)
 
-    savemat(root / f'poses_part{args.start:04d}.mat', poses)
+    write_poses()
     print(f'{args.scenes} scenes + 6 defects (chunk @{args.start}), '
           f'{total / 1e9:.2f} GB frames at {root}')
 
