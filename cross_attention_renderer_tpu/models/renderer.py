@@ -386,6 +386,19 @@ class CrossAttentionRenderer(nn.Module):
                     [nn.relu(self.key_map(fs[:, 0], fc[:, 0])),
                      nn.relu(self.key_map(fc[:, 1], fs[:, 1]))], axis=1)
                 key_val = self.key_map_2(h)
+        elif (multiview and V >= 3 and not use_sorted
+              and not self.reference_exchange_compat
+              and self._use_fused_epilogue()):
+            from cross_attention_renderer_tpu.ops import pack_pyramid
+            zp = tuple(z_packed) if z_packed is not None else pack_pyramid(z)
+            # Production V=3 path: raw packed-cell takes (one per level for
+            # all three streams) feed the multi-stream Pallas epilogue —
+            # same math as _latent_exchange + latent_value/key_map chains
+            # (reference models.py:345-475,491,529).
+            with jax.named_scope('fused_exchange_v3'):
+                joint_latent, key_val = self._fused_exchange_multi(
+                    zp, pixel_val, pt_views, ctx_c2w, ctx['intrinsics'],
+                    H, W)
         else:
             if use_sorted:
                 # V>=3: per-stream sorts; exchange assembled in ray order.
@@ -671,6 +684,85 @@ class CrossAttentionRenderer(nn.Module):
         params = jax.tree.map(lambda a: a.astype(self.dtype), params)
         jl, kv = fused_exchange_epilogue(
             vals_b, aux_self, aux_cross, params, R * P)
+        return (jl.reshape(B, V, R, P, ld),
+                kv.reshape(B, V, R, P, HIDDEN_DIM))
+
+    def _fused_exchange_multi(self, zp: tuple, pixel_val: Array,
+                              pt_views: Array, ctx_c2w: Array,
+                              ctx_intr: Array, H: int,
+                              W: int) -> tuple[Array, Array]:
+        """V>=3 exchange through the multi-stream fused epilogue.
+
+        Same math as grid_sample_pyramid + :meth:`_latent_exchange` (the
+        default non-swap wiring) + ``latent_value`` / ``key_map`` /
+        ``key_map_2`` (reference models.py:345-475,491,529): XLA does the
+        address math and ONE packed-cell row-take per level for all V
+        streams; the Pallas kernel does the combines, the V fuse-MLP
+        streams, and the attention input projections. Stream j holds, for
+        every view v, its j-th other view in ascending frame order, so the
+        kernel's fixed [self, cross_0, ...] assembly equals the
+        reference's [self] + ascending-k concat. Cross points are
+        gradient-stopped (models.py:431-433)."""
+        from cross_attention_renderer_tpu.ops.gather_epilogue import (
+            fused_exchange_epilogue_multi)
+        from cross_attention_renderer_tpu.ops.grid_sample import (
+            cell_rows_and_slot_weights)
+        B, V, R, P, _ = pt_views.shape
+        M = B * V * R * P
+        ld = self.latent_dim
+        pt_in = self._exchange_points(pt_views, ctx_c2w)   # (B,K,V,R,P,3)
+        others = [[k for k in range(V) if k != v] for v in range(V)]
+
+        # stream 0 = self (border padding, own image, no detach at V>=3)
+        pt_self = jnp.stack([pt_in[:, v, v] for v in range(V)], axis=1)
+        streams = [(pixel_val.reshape(B * V, R * P, 2), None, 'border',
+                    pt_self)]
+        for j in range(V - 1):
+            k_of = jnp.asarray([others[v][j] for v in range(V)], jnp.int32)
+            pt_j = jnp.stack(
+                [pt_in[:, others[v][j], v] for v in range(V)], axis=1)
+            intr_j = jnp.stack(
+                [ctx_intr[:, others[v][j]] for v in range(V)], axis=1)
+            proj = G.project_pinhole(pt_j.reshape(B, V, R * P, 3), intr_j)
+            pix = G.pixel_to_ndc(proj[..., :2], H, W)
+            row = jax.lax.broadcasted_iota(jnp.int32, (B * V, R * P), 0)
+            xid = (row // V) * V + k_of[row % V]
+            streams.append((pix.reshape(B * V, R * P, 2), xid, 'zeros',
+                            jax.lax.stop_gradient(pt_j)))
+
+        vals, aux_list = [], []
+        per_stream = []
+        for coords, xid, mode, pt in streams:
+            cells, weights = [], []
+            for packed in zp:
+                Hl, Wl = packed.shape[1:3]
+                c, w = cell_rows_and_slot_weights((Hl, Wl), coords, mode,
+                                                  image_id=xid)
+                cells.append(c.reshape(-1))
+                weights.append(w.reshape(M, 4))
+            per_stream.append((cells, weights, pt))
+
+        adt = self.dtype
+        pad = jnp.zeros((M, 1), adt)
+        for cells, weights, pt in per_stream:
+            t = jnp.tanh(pt.reshape(M, 3) / 5.0).astype(adt)
+            aux_list.append(jnp.concatenate(
+                [w.astype(adt) for w in weights] + [t, pad], axis=-1))
+        for l, packed in enumerate(zp):
+            flat = packed.reshape(-1, packed.shape[-1])
+            idx = jnp.concatenate([s[0][l] for s in per_stream])
+            vals.append(jnp.take(flat, idx, axis=0, mode='clip'))
+
+        params = (self.query_encode_latent.kernel,
+                  self.query_encode_latent.bias,
+                  self.query_encode_latent_2.kernel,
+                  self.query_encode_latent_2.bias,
+                  self.latent_value.kernel, self.latent_value.bias,
+                  self.key_map.kernel, self.key_map.bias,
+                  self.key_map_2.kernel, self.key_map_2.bias)
+        params = jax.tree.map(lambda a: a.astype(self.dtype), params)
+        jl, kv = fused_exchange_epilogue_multi(
+            tuple(vals), tuple(aux_list), params)
         return (jl.reshape(B, V, R, P, ld),
                 kv.reshape(B, V, R, P, HIDDEN_DIM))
 

@@ -286,3 +286,188 @@ def _bwd(rp, res, g):
 
 
 fused_exchange_epilogue.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Multi-stream variant (V >= 3): fixed [self, cross_0, cross_1, ...] channel
+# order per view — no per-view swap. The V=3 operating point (npoints 48,
+# reference models.py:47-54; 3-view exchange models.py:345-475) previously
+# ran the unfused jnp path only (49.3k rays/s, BENCH_NOTES round 4).
+# ---------------------------------------------------------------------------
+
+def _reference_multi(vals_stacked, aux_list, params):
+    """jnp reference for the S-stream epilogue.
+
+    vals_stacked: per-level (S*M, 4C) — stream-major stacking
+    [self | cross_0 | cross_1 | ...]. aux_list: S arrays (M, 16).
+    Channel assembly is the fixed ascending order (the renderer builds
+    cross stream j as each view's j-th other view in ascending frame
+    index, so [self, cross_0, ...] == the reference's
+    [self] + ascending-k cross parts, models.py:446,459,473)."""
+    (w1, b1, w2, b2, lv, lv_bias, km, km_bias, k2, k2_bias) = params
+    S = len(aux_list)
+    dt = _compute_dtype(vals_stacked, aux_list[0])
+    M = vals_stacked[0].shape[0] // S
+    O = w2.shape[1]
+
+    def fuse(vals, aux):
+        feat = _combine(vals, aux)
+        x = jnp.concatenate([feat, aux[:, 12:15].astype(dt)], axis=-1)
+        h = jax.nn.relu(x @ w1.astype(dt) + b1.astype(dt))
+        return h @ w2.astype(dt) + b2.astype(dt)
+
+    jl = lv_bias.astype(dt)
+    kh = km_bias.astype(dt)
+    for s in range(S):
+        vals_s = [jax.lax.slice_in_dim(v, s * M, (s + 1) * M, axis=0)
+                  for v in vals_stacked]
+        f = fuse(vals_s, aux_list[s])
+        jl = jl + f @ lv[s * O:(s + 1) * O].astype(dt)
+        kh = kh + f @ km[s * O:(s + 1) * O].astype(dt)
+    kv = jax.nn.relu(kh) @ k2.astype(dt) + k2_bias.astype(dt)
+    return jl, kv
+
+
+def _make_kernel_multi(channels: tuple[int, ...], n_streams: int):
+    n_lvl = len(channels)
+    offs = [sum(channels[:i]) for i in range(n_lvl + 1)]
+    F = offs[-1]
+    S = n_streams
+
+    def kernel(*refs):
+        v_by_stream = [refs[s * n_lvl:(s + 1) * n_lvl] for s in range(S)]
+        rest = refs[S * n_lvl:]
+        aux_refs = rest[:S]
+        (w1_ref, b1_ref, w2_ref, b2_ref, lv_ref, lvb_ref,
+         km_ref, kmb_ref, k2_ref, k2b_ref, jl_ref, kv_ref) = rest[S:]
+        dt = v_by_stream[0][0].dtype
+        if not jnp.issubdtype(dt, jnp.floating):
+            dt = w2_ref.dtype
+        O = w2_ref.shape[1]
+
+        def fuse(v_refs, aux_ref):
+            h = None
+            aux = aux_ref[:]
+            for l in range(n_lvl):
+                v = v_refs[l][:]
+                if v.dtype != dt:
+                    v = v.astype(dt)
+                C = channels[l]
+                comb = None
+                for k in range(4):
+                    w = aux[:, l * 4 + k:l * 4 + k + 1].astype(dt)
+                    t = v[:, k * C:(k + 1) * C] * w
+                    comb = t if comb is None else comb + t
+                t = jnp.dot(comb, w1_ref[offs[l]:offs[l + 1], :],
+                            preferred_element_type=jnp.float32)
+                h = t if h is None else h + t
+            for j in range(3):
+                h = h + (aux[:, 12 + j:13 + j].astype(jnp.float32)
+                         * w1_ref[F + j:F + j + 1, :].astype(jnp.float32))
+            h = jnp.maximum(h + b1_ref[:].astype(jnp.float32), 0.0)
+            out = jnp.dot(h.astype(dt), w2_ref[:],
+                          preferred_element_type=jnp.float32)
+            return out + b2_ref[:].astype(jnp.float32)
+
+        jl = lvb_ref[:].astype(jnp.float32)
+        kh = kmb_ref[:].astype(jnp.float32)
+        for s in range(S):
+            f = fuse(v_by_stream[s], aux_refs[s]).astype(dt)
+            jl = jl + jnp.dot(f, lv_ref[s * O:(s + 1) * O, :],
+                              preferred_element_type=jnp.float32)
+            kh = kh + jnp.dot(f, km_ref[s * O:(s + 1) * O, :],
+                              preferred_element_type=jnp.float32)
+        kh = jnp.maximum(kh, 0.0).astype(dt)
+        kv = (jnp.dot(kh, k2_ref[:], preferred_element_type=jnp.float32)
+              + k2b_ref[:].astype(jnp.float32))
+        jl_ref[:] = jl.astype(dt)
+        kv_ref[:] = kv.astype(dt)
+
+    return kernel
+
+
+def _pallas_forward_multi(vals_stacked, aux_list, params, interpret=False):
+    (w1, b1, w2, b2, lv, lv_bias, km, km_bias, k2, k2_bias) = params
+    S = len(aux_list)
+    channels = tuple(v.shape[-1] // 4 for v in vals_stacked)
+    M = vals_stacked[0].shape[0] // S
+    dt = _compute_dtype(vals_stacked, aux_list[0])
+    H_ = w1.shape[1]
+    O = w2.shape[1]
+    K = k2.shape[1]
+    bm = BLOCK_M
+    grid = (M // bm,)
+    n_blocks = M // bm
+
+    def row_spec(width, off=0):
+        return pl.BlockSpec((bm, width), lambda i, off=off: (i + off, 0),
+                            memory_space=pltpu.VMEM)
+
+    def whole(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    w_args = [w1.astype(dt), b1.reshape(1, H_).astype(jnp.float32),
+              w2.astype(dt), b2.reshape(1, O).astype(jnp.float32),
+              lv.astype(dt), lv_bias.reshape(1, O).astype(jnp.float32),
+              km.astype(dt), km_bias.reshape(1, K).astype(jnp.float32),
+              k2.astype(dt), k2_bias.reshape(1, K).astype(jnp.float32)]
+
+    in_specs = ([row_spec(4 * c, s * n_blocks)
+                 for s in range(S) for c in channels]
+                + [row_spec(16)] * S
+                + [whole(a) for a in w_args])
+
+    jl, kv = pl.pallas_call(
+        _make_kernel_multi(channels, S),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(row_spec(O), row_spec(K)),
+        out_shape=(jax.ShapeDtypeStruct((M, O), dt),
+                   jax.ShapeDtypeStruct((M, K), dt)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel',),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*(list(vals_stacked) * S), *aux_list, *w_args)
+    return jl, kv
+
+
+def _forward_multi(vals_stacked, aux_list, params):
+    M = vals_stacked[0].shape[0] // len(aux_list)
+    if not (_on_tpu() and M % BLOCK_M == 0):
+        return _reference_multi(vals_stacked, aux_list, params)
+    return _pallas_forward_multi(vals_stacked, aux_list, params)
+
+
+@jax.custom_vjp
+def fused_exchange_epilogue_multi(vals_stacked, aux_list, params):
+    """S-stream exchange epilogue: (joint_latent (M, ld), key_val (M, hid)).
+
+    Args:
+      vals_stacked: per-level packed-cell take outputs, each (S*M, 4*C_l) —
+        the S streams' rows stacked stream-major ([self | cross_0 | ...]);
+        one take per level keeps each packed table a single-use gather
+        operand (VMEM-prefetch, see fused_exchange_epilogue).
+      aux_list: tuple of S (M, 16) float arrays — 12 slot weights then
+        tanh(pt/5) (3) then pad, per stream. Gradient stops on points are
+        the caller's job (V>=3 detaches the CROSS points,
+        reference models.py:431-433).
+      params: same tuple as fused_exchange_epilogue with
+        lv (S*ld, ld), km (S*ld, hid).
+    """
+    return _forward_multi(vals_stacked, aux_list, params)
+
+
+def _fwd_multi(vals_stacked, aux_list, params):
+    out = _forward_multi(vals_stacked, aux_list, params)
+    return out, (vals_stacked, aux_list, params)
+
+
+def _bwd_multi(res, g):
+    vals_stacked, aux_list, params = res
+    _, vjp = jax.vjp(_reference_multi, vals_stacked, aux_list, params)
+    return vjp(g)
+
+
+fused_exchange_epilogue_multi.defvjp(_fwd_multi, _bwd_multi)

@@ -88,10 +88,11 @@ def make_scan_renderer(model, n_chunks: int) -> Callable:
 
     unroll = max(1, int(os.environ.get('CAR_SCAN_UNROLL', '1')))
 
-    # The V=2 multiview path samples from packed cell tables; build them
-    # ONCE per image outside the scan instead of per block (the table is a
-    # 4x-size build the scan body would otherwise redo every iteration).
-    uses_packed = (model.n_view == 2 and not model.no_latent_concat
+    # The V>=2 multiview fused paths sample from packed cell tables; build
+    # them ONCE per image outside the scan instead of per block (the table
+    # is a 4x-size build the scan body would otherwise redo every iteration).
+    uses_packed = (model.n_view >= 2 and not model.no_latent_concat
+                   and not model.reference_exchange_compat
                    and not model._use_sorted_stream(1, 2, 8192, 64))
 
     @jax.jit
@@ -139,7 +140,8 @@ def make_summary_renderer(model, n_chunks: int) -> Callable:
     """
     from cross_attention_renderer_tpu.ops import pack_pyramid
 
-    uses_packed = (model.n_view == 2 and not model.no_latent_concat
+    uses_packed = (model.n_view >= 2 and not model.no_latent_concat
+                   and not model.reference_exchange_compat
                    and not model._use_sorted_stream(1, 2, 8192, 64))
 
     @jax.jit
@@ -268,7 +270,8 @@ def make_pruned_renderer(model, n_chunks: int, n_coarse: int = 16,
     from cross_attention_renderer_tpu.ops import pack_pyramid
 
     coarse_model = model.clone(repeat_attention=False)
-    uses_packed = (model.n_view == 2 and not model.no_latent_concat
+    uses_packed = (model.n_view >= 2 and not model.no_latent_concat
+                   and not model.reference_exchange_compat
                    and not model._use_sorted_stream(1, 2, 8192, 64))
 
     @jax.jit

@@ -181,3 +181,40 @@ def test_fused_epilogue_gradients_match(monkeypatch):
         # 1e-5 .. 1e3); elementwise rtol alone misfires on near-zeros.
         np.testing.assert_allclose(a, b, rtol=5e-3,
                                    atol=1e-5 * np.abs(a).max() + 5e-5)
+
+
+@pytest.mark.slow
+def test_fused_exchange_multi_matches_standard_v3(monkeypatch):
+    """The V=3 multi-stream fused-exchange wiring (per-stream address
+    math, cross-frame image ids, ascending-k stream order, cross-point
+    gradient stop) must reproduce the unfused V=3 path. On CPU the op runs
+    its jnp reference; the kernel is pinned in test_gather_epilogue."""
+    model, params, scene = build(3)
+    out_std = model.apply(params, scene)
+    monkeypatch.setattr(CrossAttentionRenderer, '_use_fused_epilogue',
+                        lambda self: not self.is_initializing())
+    out_fused = model.apply(params, scene)
+    np.testing.assert_allclose(np.asarray(out_std['rgb']),
+                               np.asarray(out_fused['rgb']),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_std['at_wt']),
+                               np.asarray(out_fused['at_wt']),
+                               atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_fused_exchange_multi_gradients_match_v3(monkeypatch):
+    model, params, scene = build(3)
+
+    def loss(p):
+        out = model.apply(p, scene)
+        return jnp.sum(out['rgb'] ** 2)
+
+    g_std = jax.grad(loss)(params)
+    monkeypatch.setattr(CrossAttentionRenderer, '_use_fused_epilogue',
+                        lambda self: not self.is_initializing())
+    g_fused = jax.grad(loss)(params)
+    for a, b in zip(jax.tree.leaves(g_std), jax.tree.leaves(g_fused)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=5e-3,
+                                   atol=1e-5 * np.abs(a).max() + 5e-5)

@@ -20,13 +20,18 @@ from cross_attention_renderer_tpu.models import CrossAttentionRenderer
 from cross_attention_renderer_tpu.train.evaluation import make_scan_renderer
 
 H = W = 256
-RAY_BLOCK = 8192
+# 4096-ray blocks: the fused V=3 path's three gather streams are 1.5x the
+# V=2 take volume per ray — 8192-ray blocks put ~16.3 GB of takes in
+# flight and OOM the 16 GB HBM (the reference likewise halves its chunk
+# size at 3 views, eval_realestate10k.py:144-149).
+RAY_BLOCK = 4096
 N_BLOCKS = (H * W) // RAY_BLOCK
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--iters', type=int, default=4)
+    ap.add_argument('--blocks', type=int, default=N_BLOCKS)
     ap.add_argument('--npoints', type=int, default=0,
                     help='0 = reference default (48 at 3 views)')
     args = ap.parse_args()
@@ -40,7 +45,7 @@ def main():
     z = jax.block_until_ready(encode(params, scene))
     uv = scene['query']['uv']
 
-    render = make_scan_renderer(model, N_BLOCKS)
+    render = make_scan_renderer(model, args.blocks)
     t0 = time.perf_counter()
     float(jnp.asarray(render(params, scene, z, uv)[0]).sum())
     print(f'compile+first: {time.perf_counter() - t0:.1f} s '
