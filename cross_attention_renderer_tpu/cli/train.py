@@ -166,6 +166,18 @@ def main(argv=None):
                 s = dict(scene)
                 s['query'] = dict(scene['query'])
                 s['query']['uv'] = uv
+                # Held-out PSNR scalar: the strided full-frame render vs the
+                # matching gt pixels — the PSNR-vs-steps curve of the run.
+                gt = scene['query']['rgb'].reshape(1, 1, H, W, 3)
+                gt = _np.ascontiguousarray(
+                    gt[:, :, ::stride, ::stride][:, :, :side, :side]
+                ).reshape(-1, 3)
+                pred = _np.asarray(out['rgb'], dtype=_np.float32
+                                   ).reshape(-1, 3)
+                mse = float(_np.mean((pred - gt.astype(_np.float32)) ** 2))
+                psnr = 10.0 * _np.log10(4.0 / max(mse, 1e-12))  # [-1,1] range
+                writer.add_scalar('val_psnr', psnr, step)
+                print(f'step {step}: val_psnr={psnr:.2f}', flush=True)
                 write_summaries(writer, step, s,
                                 jax.tree.map(_np.asarray, out), prefix='val_')
             except Exception as e:  # diagnostics are best-effort
