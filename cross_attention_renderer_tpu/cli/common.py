@@ -19,6 +19,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument('--img_root', type=str, required=False)
     p.add_argument('--pose_root', type=str, required=False)
     p.add_argument('--checkpoint_path', type=str, default=None)
+    p.add_argument('--co3d_root', type=str, default=None,
+                   help='use CO3D-v2 instead of npz scenes')
+    p.add_argument('--co3d_category', type=str, default='all_nerformer')
     p.add_argument('--views', type=int, default=2)
     p.add_argument('--model', type=str, default='midas_vit',
                    choices=['midas_vit', 'resnet', 'unet'])

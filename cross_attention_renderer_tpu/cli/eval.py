@@ -29,8 +29,17 @@ def main(argv=None):
     p.add_argument('--save_images', action='store_true')
     opt = p.parse_args(argv)
 
-    dataset = RealEstate10kVis(opt.img_root, opt.pose_root,
-                               num_ctxt_views=opt.views)
+    if opt.co3d_root:
+        # 3-view CO3D protocol: deterministic fewview_dev sampling, full
+        # query frames (ref eval protocol via dataset/co3d.yaml).
+        from cross_attention_renderer_tpu.data.co3d import CO3Dv2Dataset
+        dataset = CO3Dv2Dataset(opt.co3d_root, category=opt.co3d_category,
+                                subset='fewview_dev',
+                                num_input_views=opt.views,
+                                query_sparsity=None)
+    else:
+        dataset = RealEstate10kVis(opt.img_root, opt.pose_root,
+                                   num_ctxt_views=opt.views)
     model = build_model(opt)
 
     first = jax.tree.map(lambda x: np.asarray(x)[None], dataset[0])

@@ -53,9 +53,6 @@ def main(argv=None):
     p.add_argument('--process_id', type=int, default=None)
     p.add_argument('--val_img_root', type=str, default=None)
     p.add_argument('--val_pose_root', type=str, default=None)
-    p.add_argument('--co3d_root', type=str, default=None,
-                   help='train on CO3D-v2 instead of npz scenes')
-    p.add_argument('--co3d_category', type=str, default='all_nerformer')
     opt = p.parse_args(argv)
 
     from cross_attention_renderer_tpu.parallel.distributed import (

@@ -255,7 +255,11 @@ class CO3Dv2Dataset:
         inp_idx, qry_idx = self._sample(len(paths), index)
 
         cat_onehot = np.zeros(self.n_categories, np.float32)
-        cat_onehot[self.cat_to_idx[self.seq_category[seq]]] = 1.0
+        # custom (non-official) categories — e.g. a generated corpus —
+        # carry a zero one-hot rather than crashing the loader
+        cat_idx = self.cat_to_idx.get(self.seq_category[seq])
+        if cat_idx is not None:
+            cat_onehot[cat_idx] = 1.0
 
         ctx = [self._load_frame(paths[i]) for i in inp_idx]
         qry = [self._load_frame(paths[i]) for i in qry_idx]

@@ -108,3 +108,60 @@ def test_deterministic_eval_sampling(co3d_root):
         a, b = ds1[0], ds2[0]
         np.testing.assert_array_equal(a['context']['cam2world'],
                                       b['context']['cam2world'])
+
+
+def test_make_co3d_corpus_camera_roundtrip():
+    """tools/make_co3d_corpus writes viewpoints whose loader conversion
+    recovers the generating OpenCV camera exactly."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / 'tools'))
+    import make_co3d_corpus as mk
+
+    rng = np.random.default_rng(3)
+    H, W = 256, 256
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = 1.2 * W
+    K[0, 2], K[1, 2] = W / 2 + 3.0, H / 2 - 5.0   # off-center pp too
+    for c2w in mk.orbit_c2w(rng, 4):
+        R, T = mk.opencv_to_p3d(np.linalg.inv(c2w))
+        f_ndc, p_ndc = mk.pixel_K_to_ndc(K, H, W)
+        c2w_rt, K_rt = co3d.cameras_from_annotation(
+            {'R': R.tolist(), 'T': T.tolist(),
+             'focal_length': f_ndc.tolist(),
+             'principal_point': p_ndc.tolist(),
+             'intrinsics_format': 'ndc_norm_image_bounds'},
+            (H, W), (0, 0), 1.0)
+        np.testing.assert_allclose(c2w_rt, c2w, atol=1e-6)
+        np.testing.assert_allclose(K_rt, K, atol=1e-6)
+
+
+def test_custom_category_gets_zero_onehot(co3d_root):
+    """A category outside the official CO3D-51 list (e.g. a generated
+    corpus) must load with a zero one-hot, not KeyError."""
+    import shutil
+    root2 = co3d_root.parent / 'co3d_custom'
+    if not root2.exists():
+        shutil.copytree(co3d_root, root2)
+        (root2 / 'boxworld').symlink_to(root2 / 'hydrant')
+        # rewrite paths? simpler: rename the category dir
+        (root2 / 'boxworld').unlink()
+        (root2 / 'hydrant').rename(root2 / 'boxworld')
+        import gzip as _g, json as _j
+        p = root2 / 'boxworld' / 'frame_annotations.jgz'
+        annots = _j.load(_g.open(p, 'rt'))
+        for a in annots:
+            a['image']['path'] = a['image']['path'].replace(
+                'hydrant/', 'boxworld/')
+            a['mask']['path'] = a['mask']['path'].replace(
+                'hydrant/', 'boxworld/')
+        with _g.open(p, 'wt') as f:
+            _j.dump(annots, f)
+        sl = root2 / 'boxworld' / 'set_lists' / 'set_lists_fewview_train.json'
+        sl.write_text(sl.read_text().replace('hydrant/', 'boxworld/'))
+    ds = co3d.CO3Dv2Dataset(root2, category='boxworld',
+                            subset='fewview_train', num_input_views=2,
+                            query_sparsity=32)
+    assert len(ds) == 2
+    item = ds[0]          # must not raise
+    assert item['context']['rgb'].shape[0] == 2
