@@ -42,7 +42,12 @@ def main(argv=None):
                                    num_ctxt_views=opt.views)
     model = build_model(opt)
 
-    first = jax.tree.map(lambda x: np.asarray(x)[None], dataset[0])
+    def load_scene(i):
+        item = dataset[i]
+        item.pop('sequence', None)  # non-numeric metadata (CO3D)
+        return jax.tree.map(lambda x: np.asarray(x)[None], item)
+
+    first = load_scene(0)
     # init on a small ray slice — parameters don't depend on the ray count,
     # and tracing init at 65k rays wastes minutes of compile time
     init_scene = dict(first)
@@ -72,7 +77,7 @@ def main(argv=None):
                                                     len(dataset))
     sums: dict = {}
     for i in range(n):
-        scene = jax.tree.map(lambda x: np.asarray(x)[None], dataset[i])
+        scene = load_scene(i)
         t0 = time.time()
         m = evaluate_scene(model, params, scene, n_chunks=opt.n_chunks,
                            lpips_fn=lpips_fn, renderer=renderer)

@@ -32,6 +32,9 @@ def main(argv=None):
     p.add_argument('--ray_chunk', type=int, default=8192)
     p.add_argument('--sf', type=float, default=1.2,
                    help='translation scale (load_video_superglue.py:481)')
+    p.add_argument('--n_frames', type=int, default=80,
+                   help='trajectory poses (reference: 80, '
+                        'load_video_superglue.py:491)')
     opt = p.parse_args(argv)
 
     import imageio.v2 as imageio
@@ -61,7 +64,8 @@ def main(argv=None):
 
     im0 = np.asarray(imageio.imread(opt.im1), np.float32) / 255.0
     im1 = np.asarray(imageio.imread(opt.im2), np.float32) / 255.0
-    traj = unposed_scene(sp_params, sg_params, im0, im1, sf=opt.sf)
+    traj = unposed_scene(sp_params, sg_params, im0, im1,
+                         n_poses=opt.n_frames, sf=opt.sf)
 
     model = build_model(opt)
     n_frames = traj['query']['cam2world'].shape[1]
